@@ -1,0 +1,159 @@
+"""Core data model: references and extended-prefix-map records.
+
+Semantics re-expressed from the reference library ``curies``
+(/root/reference/src/curies/api.py:85-175 ``ReferenceTuple``,
+api.py:659-737 ``Record``/``Records``) as plain, picklable Python
+structures suitable for ``SparkContext.broadcast``.
+
+Everything here is driver-scale (an extended prefix map is KBs-MBs);
+data-scale equivalents live in :mod:`curies_spark.functions`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable, NamedTuple
+
+__all__ = [
+    "Record",
+    "Reference",
+    "ReferenceTuple",
+    "records_from_dicts",
+    "records_to_dicts",
+]
+
+
+class ReferenceTuple(NamedTuple):
+    """A pair of a CURIE prefix and local unique identifier.
+
+    Mirrors reference api.py:85-175.
+    """
+
+    prefix: str
+    identifier: str
+
+    @property
+    def curie(self) -> str:
+        """Format as ``prefix:identifier`` (reference api.py:134-142)."""
+        return f"{self.prefix}:{self.identifier}"
+
+    @classmethod
+    def from_curie(cls, curie: str, *, sep: str = ":") -> "ReferenceTuple":
+        """Parse from a CURIE string, splitting on the first delimiter
+        (reference api.py:144-157)."""
+        prefix, _, identifier = curie.partition(sep)
+        return cls(prefix, identifier)
+
+
+@dataclass(frozen=True, order=True)
+class Reference:
+    """A hashable, lexically-ordered (prefix, identifier) reference
+    (reference api.py:386-521)."""
+
+    prefix: str
+    identifier: str
+
+    @property
+    def curie(self) -> str:
+        return f"{self.prefix}:{self.identifier}"
+
+    @property
+    def pair(self) -> ReferenceTuple:
+        return ReferenceTuple(self.prefix, self.identifier)
+
+    @classmethod
+    def from_curie(cls, curie: str, *, sep: str = ":") -> "Reference":
+        prefix, _, identifier = curie.partition(sep)
+        return cls(prefix, identifier)
+
+    @classmethod
+    def from_reference(cls, reference: "ReferenceTuple | Reference") -> "Reference":
+        return cls(reference.prefix, reference.identifier)
+
+
+@dataclass
+class Record:
+    """One extended-prefix-map entry (reference api.py:659-727).
+
+    The canonical prefix must not appear in its own synonym list
+    (validators at reference api.py:691-709); same for URI prefixes.
+    """
+
+    prefix: str
+    uri_prefix: str
+    prefix_synonyms: list[str] = field(default_factory=list)
+    uri_prefix_synonyms: list[str] = field(default_factory=list)
+    pattern: str | None = None
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.prefix, str) or not isinstance(self.uri_prefix, str):
+            raise TypeError("prefix and uri_prefix must be strings")
+        if self.prefix in self.prefix_synonyms:
+            raise ValueError(
+                f"Duplicate of canonical prefix `{self.prefix}` in prefix synonyms"
+            )
+        if self.uri_prefix in self.uri_prefix_synonyms:
+            raise ValueError(
+                f"Duplicate of canonical URI prefix `{self.uri_prefix}` in URI prefix synonyms"
+            )
+
+    @property
+    def _all_prefixes(self) -> list[str]:
+        return [self.prefix, *self.prefix_synonyms]
+
+    @property
+    def _all_uri_prefixes(self) -> list[str]:
+        return [self.uri_prefix, *self.uri_prefix_synonyms]
+
+    @property
+    def _key(self) -> tuple[str, str, str, str]:
+        return (
+            self.prefix,
+            self.uri_prefix,
+            ",".join(sorted(self.prefix_synonyms)),
+            ",".join(sorted(self.uri_prefix_synonyms)),
+        )
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, Record):
+            return NotImplemented
+        return (
+            self.prefix == other.prefix
+            and self.uri_prefix == other.uri_prefix
+            and self.prefix_synonyms == other.prefix_synonyms
+            and self.uri_prefix_synonyms == other.uri_prefix_synonyms
+            and self.pattern == other.pattern
+        )
+
+    def to_dict(self) -> dict[str, Any]:
+        rv: dict[str, Any] = {"prefix": self.prefix, "uri_prefix": self.uri_prefix}
+        if self.prefix_synonyms:
+            rv["prefix_synonyms"] = list(self.prefix_synonyms)
+        if self.uri_prefix_synonyms:
+            rv["uri_prefix_synonyms"] = list(self.uri_prefix_synonyms)
+        if self.pattern is not None:
+            rv["pattern"] = self.pattern
+        return rv
+
+
+def records_from_dicts(dicts: Iterable["dict[str, Any] | Record"]) -> list[Record]:
+    """Build records from EPM-style dictionaries (reference api.py:1166-1243)."""
+    rv = []
+    for d in dicts:
+        if isinstance(d, Record):
+            rv.append(d)
+        else:
+            rv.append(
+                Record(
+                    prefix=d["prefix"],
+                    uri_prefix=d["uri_prefix"],
+                    prefix_synonyms=list(d.get("prefix_synonyms") or []),
+                    uri_prefix_synonyms=list(d.get("uri_prefix_synonyms") or []),
+                    pattern=d.get("pattern"),
+                )
+            )
+    return rv
+
+
+def records_to_dicts(records: Iterable[Record]) -> list[dict[str, Any]]:
+    return [r.to_dict() for r in records]
