@@ -1,0 +1,498 @@
+"""Columnar conversion kernels: every reference scalar function as a Spark column operator.
+
+Physical design (see SURVEY.md §3.2-3.3):
+
+- **Expansion / CURIE standardization are JVM-native.** A CURIE splits on
+  the first delimiter with ``substring_index``/``locate``, the prefix is
+  standardized through a ``MapType`` literal built from the broadcast
+  converter's synonym-inclusive prefix map, and the URI is a ``concat``.
+  Whole-stage codegen keeps the whole path in the JVM — no Python worker.
+- **Compression (longest-prefix URI matching) has no native Spark
+  operator.** For small converters we compile the prefix set into an
+  ordered ``when``-chain of ``startswith`` probes (JVM, codegen'd,
+  longest-first so the longest-prefix-wins guarantee of reference
+  api.py:1762-1769 holds). Past a threshold, we switch to an
+  Arrow-batched pandas UDF probing the broadcast trie
+  (one ``Series.map`` per batch — never per-row Python in the plan).
+
+Strictness mapping (reference api.py:1732-1778 etc.):
+- default    → miss = NULL
+- passthrough → ``F.coalesce(converted, original)``
+- strict      → driver-side audit via :func:`assert_no_nulls`
+
+Deviation from the reference, by design: per-row exceptions (e.g.
+``NoCURIEDelimiterError`` for a CURIE without a delimiter,
+reference utils.py:22-27) become NULLs; use :func:`assert_no_nulls`
+to restore fail-fast semantics on the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..core.converter import Converter
+from ..core.w3c import LOCAL_UNIQUE_IDENTIFIER_PATTERN, NCNAME_PATTERN
+
+__all__ = [
+    "assert_no_nulls",
+    "StrictConversionError",
+    "compress_col",
+    "curie_identifier_col",
+    "curie_prefix_col",
+    "expand_all_col",
+    "expand_col",
+    "format_curie_col",
+    "hash_triple_col",
+    "hash_uri_triple_col",
+    "is_curie_col",
+    "is_uri_col",
+    "is_w3c_curie_col",
+    "is_w3c_prefix_col",
+    "parse_curie_col",
+    "parse_uri_col",
+    "standardize_curie_col",
+    "standardize_prefix_col",
+    "standardize_uri_col",
+]
+
+#: Above this many URI prefixes the compress kernel switches from a
+#: codegen'd when-chain to the broadcast-trie pandas UDF. The when-chain
+#: is O(#prefixes) per row but JVM-side; the UDF is O(#distinct lengths)
+#: hash probes per row but pays the Arrow boundary once per batch.
+NATIVE_COMPRESS_THRESHOLD = 48
+
+#: Above this many prefix-map entries the expand kernel switches from a
+#: MapType literal (embedded in the plan, constant-folded) to a pandas
+#: UDF against the broadcast converter. Literal maps beyond ~10k entries
+#: bloat the plan serialization shipped with every task.
+NATIVE_EXPAND_THRESHOLD = 10_000
+
+PARSE_SCHEMA = StructType(
+    [
+        StructField("prefix", StringType(), True),
+        StructField("identifier", StringType(), True),
+    ]
+)
+
+
+class StrictConversionError(ValueError):
+    """Raised by :func:`assert_no_nulls` — the columnar form of the
+    reference's strict-mode ``ConversionError`` hierarchy."""
+
+
+def _col(c: "Column | str") -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _broadcast(converter) -> Converter:
+    """Accept either a raw Converter or a ``sc.broadcast`` handle."""
+    if isinstance(converter, Converter):
+        return converter
+    return converter.value  # pyspark.Broadcast
+
+
+def _converter_value_getter(converter):
+    """Defer ``.value`` into the executor when a Broadcast is given, so the
+    converter ships once per executor instead of once per serialized UDF."""
+    if isinstance(converter, Converter):
+        return lambda: converter
+    return lambda: converter.value
+
+
+# ---------------------------------------------------------------------------
+# CURIE splitting (native)
+# ---------------------------------------------------------------------------
+
+
+def curie_prefix_col(curie: "Column | str") -> Column:
+    """Prefix half of a CURIE — everything before the *first* delimiter
+    (reference utils.py:30-32). NULL when there is no delimiter."""
+    c = _col(curie)
+    return F.when(F.locate(":", c) > 0, F.substring_index(c, ":", 1))
+
+
+def curie_identifier_col(curie: "Column | str") -> Column:
+    """Identifier half — everything after the first delimiter; may itself
+    contain delimiters (``a1:b2:c3 → b2:c3``, reference tests/test_struct.py:44-48)."""
+    c = _col(curie)
+    pos = F.locate(":", c)
+    return F.when(pos > 0, F.substr(c, pos + F.lit(1)))
+
+
+def format_curie_col(prefix: "Column | str", identifier: "Column | str") -> Column:
+    """``prefix:identifier`` (reference api.py:1583-1585)."""
+    return F.concat(_col(prefix), F.lit(":"), _col(identifier))
+
+
+# ---------------------------------------------------------------------------
+# expansion (native fast path)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_to_uri_map_expr(conv: Converter) -> Column:
+    """MapType literal: every prefix + synonym → canonical URI prefix
+    (reference ``prefix_map`` property, api.py:923-928)."""
+    pairs: list[Column] = []
+    for prefix, uri_prefix in conv.prefix_map.items():
+        pairs.append(F.lit(prefix))
+        pairs.append(F.lit(uri_prefix))
+    return F.create_map(*pairs) if pairs else F.create_map()
+
+
+def _synonym_to_prefix_map_expr(conv: Converter) -> Column:
+    pairs: list[Column] = []
+    for synonym, prefix in conv.synonym_to_prefix.items():
+        pairs.append(F.lit(synonym))
+        pairs.append(F.lit(prefix))
+    return F.create_map(*pairs) if pairs else F.create_map()
+
+
+def expand_col(
+    curie: "Column | str",
+    converter,
+    *,
+    passthrough: bool = False,
+) -> Column:
+    """CURIE → URI (reference ``Converter.expand``, api.py:1949-1983).
+
+    Fully JVM-native for converters below :data:`NATIVE_EXPAND_THRESHOLD`:
+    split on first delimiter → ``element_at`` against the broadcast
+    synonym-inclusive prefix map → ``concat``. Misses (no delimiter,
+    unknown prefix) are NULL, or the input when ``passthrough``.
+    """
+    c = _col(curie)
+    conv = _broadcast(converter)
+    if len(conv.prefix_map) <= NATIVE_EXPAND_THRESHOLD:
+        prefix = F.substring_index(c, ":", 1)
+        pos = F.locate(":", c)
+        identifier = F.substr(c, pos + F.lit(1))
+        uri_prefix = F.element_at(_prefix_to_uri_map_expr(conv), prefix)
+        expanded = F.when(pos > 0, F.concat(uri_prefix, identifier))
+    else:
+        get = _converter_value_getter(converter)
+
+        @F.pandas_udf(StringType())
+        def _expand(series: pd.Series) -> pd.Series:
+            cv = get()
+
+            def one(s):
+                if s is None or ":" not in s:
+                    return None
+                return cv.expand(s)
+
+            return series.map(one)
+
+        expanded = _expand(c)
+    return F.coalesce(expanded, c) if passthrough else expanded
+
+
+def expand_all_col(curie: "Column | str", converter) -> Column:
+    """CURIE → array of all URIs, canonical first then synonyms in record
+    order (reference ``expand_all``, api.py:1995-2027). NULL array on miss.
+
+    Native: a ``MapType(string, array<string>)`` literal keyed by every
+    prefix+synonym, then ``transform`` concatenates the identifier.
+    """
+    c = _col(curie)
+    conv = _broadcast(converter)
+    pairs: list[Column] = []
+    for record in conv.records:
+        uri_prefixes = F.array(
+            *[F.lit(u) for u in (record.uri_prefix, *record.uri_prefix_synonyms)]
+        )
+        for prefix in record._all_prefixes:
+            pairs.append(F.lit(prefix))
+            pairs.append(uri_prefixes)
+    map_expr = F.create_map(*pairs) if pairs else F.create_map()
+    prefix = F.substring_index(c, ":", 1)
+    pos = F.locate(":", c)
+    identifier = F.substr(c, pos + F.lit(1))
+    bases = F.element_at(map_expr, prefix)
+    return F.when(
+        pos > 0, F.transform(bases, lambda base: F.concat(base, identifier))
+    )
+
+
+# ---------------------------------------------------------------------------
+# compression (longest-prefix match)
+# ---------------------------------------------------------------------------
+
+
+def _native_compress_pair(conv: Converter, uri: Column) -> "tuple[Column, Column]":
+    """(prefix, identifier) via an ordered when-chain over all URI prefixes,
+    longest first — preserves the trie's longest-match guarantee."""
+    entries = sorted(
+        conv.reverse_prefix_map.items(), key=lambda kv: len(kv[0]), reverse=True
+    )
+    prefix_expr: Column = F.lit(None).cast(StringType())
+    ident_expr: Column = F.lit(None).cast(StringType())
+    # build the chain from the shortest up so the longest ends up outermost
+    for uri_prefix, prefix in reversed(entries):
+        cond = uri.startswith(uri_prefix)
+        prefix_expr = F.when(cond, F.lit(prefix)).otherwise(prefix_expr)
+        ident_expr = F.when(cond, F.substr(uri, F.lit(len(uri_prefix) + 1))).otherwise(
+            ident_expr
+        )
+    return prefix_expr, ident_expr
+
+
+def parse_uri_col(uri: "Column | str", converter) -> Column:
+    """URI → struct(prefix, identifier) by longest-prefix match
+    (reference ``parse_uri`` api.py:1793-1821 over the trie at api.py:3331-3347).
+
+    Small converters compile to a codegen'd ``startswith`` chain; large
+    ones use the broadcast-trie pandas UDF.
+    """
+    c = _col(uri)
+    conv = _broadcast(converter)
+    if len(conv.reverse_prefix_map) <= NATIVE_COMPRESS_THRESHOLD:
+        prefix_expr, ident_expr = _native_compress_pair(conv, c)
+        return F.when(
+            prefix_expr.isNotNull(),
+            F.struct(prefix_expr.alias("prefix"), ident_expr.alias("identifier")),
+        )
+    get = _converter_value_getter(converter)
+
+    @F.pandas_udf(PARSE_SCHEMA)
+    def _parse(series: pd.Series) -> pd.DataFrame:
+        trie = get().trie
+
+        def one(s):
+            if s is None:
+                return (None, None)
+            rt = trie.parse_uri(s)
+            return (rt.prefix, rt.identifier) if rt is not None else (None, None)
+
+        parsed = series.map(one)
+        return pd.DataFrame(
+            {
+                "prefix": parsed.map(lambda t: t[0]),
+                "identifier": parsed.map(lambda t: t[1]),
+            }
+        )
+
+    struct = _parse(c)
+    return F.when(struct.getField("prefix").isNotNull(), struct)
+
+
+def compress_col(
+    uri: "Column | str",
+    converter,
+    *,
+    passthrough: bool = False,
+) -> Column:
+    """URI → CURIE with longest-prefix matching (reference ``compress``,
+    api.py:1732-1778). Miss → NULL, or input when ``passthrough``."""
+    c = _col(uri)
+    conv = _broadcast(converter)
+    if len(conv.reverse_prefix_map) <= NATIVE_COMPRESS_THRESHOLD:
+        prefix_expr, ident_expr = _native_compress_pair(conv, c)
+        compressed = F.when(
+            prefix_expr.isNotNull(), F.concat(prefix_expr, F.lit(":"), ident_expr)
+        )
+    else:
+        get = _converter_value_getter(converter)
+
+        @F.pandas_udf(StringType())
+        def _compress(series: pd.Series) -> pd.Series:
+            trie = get().trie
+
+            def one(s):
+                if s is None:
+                    return None
+                rt = trie.parse_uri(s)
+                return f"{rt.prefix}:{rt.identifier}" if rt is not None else None
+
+            return series.map(one)
+
+        compressed = _compress(c)
+    return F.coalesce(compressed, c) if passthrough else compressed
+
+
+# ---------------------------------------------------------------------------
+# standardization (native)
+# ---------------------------------------------------------------------------
+
+
+def standardize_prefix_col(
+    prefix: "Column | str", converter, *, passthrough: bool = False
+) -> Column:
+    """Synonym → canonical prefix (reference api.py:2239-2278)."""
+    c = _col(prefix)
+    conv = _broadcast(converter)
+    standardized = F.element_at(_synonym_to_prefix_map_expr(conv), c)
+    return F.coalesce(standardized, c) if passthrough else standardized
+
+
+def parse_curie_col(curie: "Column | str", converter) -> Column:
+    """CURIE → struct(prefix, identifier) with prefix standardization
+    (reference ``parse_curie`` api.py:2039-2052). NULL when there is no
+    delimiter or the prefix is unknown."""
+    c = _col(curie)
+    conv = _broadcast(converter)
+    pos = F.locate(":", c)
+    raw_prefix = F.substring_index(c, ":", 1)
+    identifier = F.substr(c, pos + F.lit(1))
+    norm_prefix = F.element_at(_synonym_to_prefix_map_expr(conv), raw_prefix)
+    return F.when(
+        (pos > 0) & norm_prefix.isNotNull(),
+        F.struct(norm_prefix.alias("prefix"), identifier.alias("identifier")),
+    )
+
+
+def standardize_curie_col(
+    curie: "Column | str", converter, *, passthrough: bool = False
+) -> Column:
+    """Idempotent CURIE standardization (reference api.py:2298-2343)."""
+    c = _col(curie)
+    parsed = parse_curie_col(c, converter)
+    standardized = F.when(
+        parsed.isNotNull(),
+        F.concat(
+            parsed.getField("prefix"), F.lit(":"), parsed.getField("identifier")
+        ),
+    )
+    return F.coalesce(standardized, c) if passthrough else standardized
+
+
+def standardize_uri_col(
+    uri: "Column | str", converter, *, passthrough: bool = False
+) -> Column:
+    """Idempotent URI standardization: longest-prefix parse then re-expand
+    through the canonical URI prefix (reference api.py:2363-2413)."""
+    c = _col(uri)
+    conv = _broadcast(converter)
+    parsed = parse_uri_col(c, converter)
+    canonical = F.element_at(_prefix_to_uri_map_expr(conv), parsed.getField("prefix"))
+    standardized = F.when(
+        parsed.isNotNull(), F.concat(canonical, parsed.getField("identifier"))
+    )
+    return F.coalesce(standardized, c) if passthrough else standardized
+
+
+# ---------------------------------------------------------------------------
+# predicates & ambiguous forms
+# ---------------------------------------------------------------------------
+
+
+def is_uri_col(s: "Column | str", converter) -> Column:
+    """Reference api.py:2676-2684: can the string be compressed?"""
+    return compress_col(s, converter).isNotNull()
+
+
+def is_curie_col(s: "Column | str", converter) -> Column:
+    """Reference api.py:1823-1848: can the string be expanded?"""
+    return expand_col(s, converter).isNotNull()
+
+
+def compress_or_standardize_col(
+    s: "Column | str", converter, *, passthrough: bool = False
+) -> Column:
+    """URI → CURIE, else CURIE standardization (reference api.py:1637-1686).
+    Compression is tried first, mirroring ``parse``'s is_uri-then-is_curie
+    order (api.py:1700-1708)."""
+    c = _col(s)
+    result = F.coalesce(compress_col(c, converter), standardize_curie_col(c, converter))
+    return F.coalesce(result, c) if passthrough else result
+
+
+def expand_or_standardize_col(
+    s: "Column | str", converter, *, passthrough: bool = False
+) -> Column:
+    """CURIE → URI, else URI standardization (reference api.py:1876-1925)."""
+    c = _col(s)
+    result = F.coalesce(standardize_uri_col(c, converter), expand_col(c, converter))
+    return F.coalesce(result, c) if passthrough else result
+
+
+# ---------------------------------------------------------------------------
+# triple hashing (native)
+# ---------------------------------------------------------------------------
+
+
+def hash_uri_triple_col(
+    subject_uri: "Column | str",
+    predicate_uri: "Column | str",
+    object_uri: "Column | str",
+    *,
+    negate: bool = False,
+) -> Column:
+    """SHA-256 of the space-joined URI triple (reference
+    triples/hash_utils.py:86-115); ``negate`` appends ``~``."""
+    digest = F.sha2(
+        F.concat_ws(" ", _col(subject_uri), _col(predicate_uri), _col(object_uri)), 256
+    )
+    return F.concat(digest, F.lit("~")) if negate else digest
+
+
+def hash_triple_col(
+    subject: "Column | str",
+    predicate: "Column | str",
+    object: "Column | str",
+    converter,
+    *,
+    negate: bool = False,
+) -> Column:
+    """Hash of a CURIE triple after strict expansion (reference
+    triples/hash_utils.py:17-83 and api.py:2735-2766)."""
+    return hash_uri_triple_col(
+        expand_col(subject, converter),
+        expand_col(predicate, converter),
+        expand_col(object, converter),
+        negate=negate,
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3C validation (native rlike)
+# ---------------------------------------------------------------------------
+
+
+def is_w3c_prefix_col(prefix: "Column | str") -> Column:
+    """Full NCName match (reference w3c.py:69-104)."""
+    return _col(prefix).rlike(f"^{NCNAME_PATTERN}$")
+
+
+def is_w3c_curie_col(curie: "Column | str") -> Column:
+    """CURIE grammar with bracket/blank rejection (reference w3c.py:111-173).
+
+    Note the reference's LUID probe is ``re.match`` (start-anchored only)
+    against a pattern with a nullable alternative — it accepts any string —
+    so validity reduces to the bracket/blank guards plus, when a non-empty
+    prefix is present, the NCName check.
+    """
+    c = _col(curie)
+    pos = F.locate(":", c)
+    prefix = F.substring_index(c, ":", 1)
+    luid_ok = F.lit(True)  # see docstring — reference LUID pattern matches anything
+    _ = LOCAL_UNIQUE_IDENTIFIER_PATTERN  # retained for parity documentation
+    return (
+        F.when(c.contains("[") | c.contains("]"), F.lit(False))
+        .when(F.trim(c) == "", F.lit(False))
+        .when(pos == 0, luid_ok)  # no delimiter: LUID-only form (locate is 1-based)
+        .when(prefix == "", luid_ok)  # ":x" — empty prefix is allowed
+        .otherwise(prefix.rlike(f"^{NCNAME_PATTERN}$") & luid_ok)
+    )
+
+
+# ---------------------------------------------------------------------------
+# strict-mode audit
+# ---------------------------------------------------------------------------
+
+
+def assert_no_nulls(df: DataFrame, column: str, *, label: str = "conversion") -> DataFrame:
+    """Columnar strict mode: raise if any row failed to convert.
+
+    The reference raises per value (``CompressionError`` etc.); at data
+    scale we audit post-hoc — one job over the already-computed column.
+    """
+    misses = df.filter(F.col(column).isNull()).count()
+    if misses:
+        raise StrictConversionError(
+            f"strict {label}: {misses} row(s) could not be converted in column {column!r}"
+        )
+    return df

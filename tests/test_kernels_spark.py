@@ -1,0 +1,246 @@
+"""Columnar kernels vs the driver-side core: the two implementations must agree.
+
+Each test runs the Spark kernel over a corpus that includes every edge
+case from the reference tests (longest-prefix overlap, synonyms,
+multi-colon identifiers, empty prefix/identifier, misses) and checks the
+result against the scalar core — which itself is validated against the
+ported reference tests in test_core_converter.py.
+"""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from curies_spark.core import Converter
+from curies_spark.functions import (
+    SparkConverter,
+    StrictConversionError,
+    assert_no_nulls,
+    is_w3c_curie_col,
+    is_w3c_prefix_col,
+)
+from curies_spark.functions import kernels
+
+CHEBI = "http://purl.obolibrary.org/obo/CHEBI_"
+GO = "http://purl.obolibrary.org/obo/GO_"
+OBO = "http://purl.obolibrary.org/obo/"
+
+EPM = [
+    {
+        "prefix": "CHEBI",
+        "prefix_synonyms": ["chebi"],
+        "uri_prefix": CHEBI,
+        "uri_prefix_synonyms": ["https://www.ebi.ac.uk/chebi/searchId.do?chebiId=CHEBI:"],
+    },
+    {"prefix": "GO", "uri_prefix": GO},
+    {"prefix": "OBO", "uri_prefix": OBO},
+    {"prefix": "mesh", "uri_prefix": "http://id.nlm.nih.gov/mesh/"},
+    {"prefix": "skos", "uri_prefix": "http://www.w3.org/2004/02/skos/core#"},
+]
+
+URIS = [
+    f"{CHEBI}138488",
+    f"{GO}0032571",
+    f"{OBO}go.owl",
+    "https://www.ebi.ac.uk/chebi/searchId.do?chebiId=CHEBI:42",
+    CHEBI,  # exact prefix → empty identifier
+    "http://example.org/missing:0000000",
+    "",
+    "GO:0032571",  # a CURIE is not a URI
+]
+
+CURIES = [
+    "CHEBI:138488",
+    "chebi:138488",  # synonym prefix
+    "GO:0032571",
+    "OBO:unnamespaced",
+    "a1:b2:c3",  # unknown prefix with multi-colon identifier
+    "CHEBI:a:b:c",  # known prefix, multi-colon identifier
+    ":something",  # empty prefix
+    "CHEBI:",  # empty identifier
+    "missing:00000",
+    "nodelimiter",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def conv() -> Converter:
+    return Converter.from_extended_prefix_map(EPM)
+
+
+@pytest.fixture(scope="module")
+def sconv(spark, conv) -> SparkConverter:
+    return SparkConverter(spark, conv)
+
+
+def _run(spark, values, column):
+    df = spark.createDataFrame([Row(v=v) for v in values])
+    return [r["out"] for r in df.select(column.alias("out")).collect()]
+
+
+def _scalar(conv, fn, values, **kw):
+    out = []
+    for v in values:
+        try:
+            out.append(fn(v, **kw))
+        except Exception:
+            out.append(None)  # columnar kernels encode per-row errors as NULL
+    return out
+
+
+def test_compress_matches_core(spark, conv, sconv):
+    got = _run(spark, URIS, sconv.compress("v"))
+    want = _scalar(conv, conv.compress, URIS)
+    assert got == want
+
+
+def test_compress_passthrough(spark, conv, sconv):
+    got = _run(spark, URIS, sconv.compress("v", passthrough=True))
+    want = _scalar(conv, conv.compress, URIS, passthrough=True)
+    assert got == want
+
+
+def test_compress_udf_path_matches_native(spark, conv, sconv, monkeypatch):
+    """Force the pandas-UDF trie path and require identical output."""
+    monkeypatch.setattr(kernels, "NATIVE_COMPRESS_THRESHOLD", 0)
+    got = _run(spark, URIS, sconv.compress("v"))
+    want = _scalar(conv, conv.compress, URIS)
+    assert got == want
+
+
+def test_expand_matches_core(spark, conv, sconv):
+    got = _run(spark, CURIES, sconv.expand("v"))
+    want = _scalar(conv, conv.expand, CURIES)
+    assert got == want
+
+
+def test_expand_passthrough(spark, conv, sconv):
+    got = _run(spark, CURIES, sconv.expand("v", passthrough=True))
+    want = []
+    for v in CURIES:
+        try:
+            want.append(conv.expand(v, passthrough=True))
+        except Exception:
+            # documented columnar deviation: per-row NoCURIEDelimiterError
+            # becomes a miss, which passthrough maps back to the input
+            want.append(v)
+    assert got == want
+
+
+def test_expand_udf_path_matches_native(spark, conv, sconv, monkeypatch):
+    monkeypatch.setattr(kernels, "NATIVE_EXPAND_THRESHOLD", 0)
+    got = _run(spark, CURIES, sconv.expand("v"))
+    want = _scalar(conv, conv.expand, CURIES)
+    assert got == want
+
+
+def test_expand_all_matches_core(spark, conv, sconv):
+    got = _run(spark, CURIES, sconv.expand_all("v"))
+    want = []
+    for v in CURIES:
+        try:
+            r = conv.expand_all(v)
+            want.append(list(r) if r is not None else None)
+        except Exception:
+            want.append(None)
+    assert got == want
+
+
+def test_parse_curie_struct(spark, conv, sconv):
+    got = _run(spark, CURIES, sconv.parse_curie("v"))
+    want = []
+    for v in CURIES:
+        try:
+            rt = conv.parse_curie(v)
+            want.append(Row(prefix=rt.prefix, identifier=rt.identifier) if rt else None)
+        except Exception:
+            want.append(None)
+    assert got == want
+
+
+def test_parse_uri_struct(spark, conv, sconv):
+    got = _run(spark, URIS, sconv.parse_uri("v"))
+    want = []
+    for v in URIS:
+        rt = conv.parse_uri(v)
+        want.append(Row(prefix=rt.prefix, identifier=rt.identifier) if rt else None)
+    assert got == want
+
+
+def test_standardize_kernels(spark, conv, sconv):
+    prefixes = ["CHEBI", "chebi", "GO", "missing", ""]
+    assert _run(spark, prefixes, sconv.standardize_prefix("v")) == [
+        conv.standardize_prefix(p) for p in prefixes
+    ]
+    assert _run(spark, prefixes, sconv.standardize_prefix("v", passthrough=True)) == [
+        conv.standardize_prefix(p, passthrough=True) for p in prefixes
+    ]
+    got = _run(spark, CURIES, sconv.standardize_curie("v"))
+    want = _scalar(conv, conv.standardize_curie, CURIES)
+    assert got == want
+    got = _run(spark, URIS, sconv.standardize_uri("v"))
+    want = _scalar(conv, conv.standardize_uri, URIS)
+    assert got == want
+
+
+def test_ambiguous_kernels(spark, conv, sconv):
+    mixed = URIS + CURIES
+    got = _run(spark, mixed, sconv.compress_or_standardize("v"))
+    want = _scalar(conv, conv.compress_or_standardize, mixed)
+    assert got == want
+    got = _run(spark, mixed, sconv.expand_or_standardize("v"))
+    want = _scalar(conv, conv.expand_or_standardize, mixed)
+    assert got == want
+
+
+def test_predicates(spark, conv, sconv):
+    mixed = URIS + CURIES
+    assert _run(spark, mixed, sconv.is_uri("v")) == [conv.is_uri(v) for v in mixed]
+    assert _run(spark, mixed, sconv.is_curie("v")) == [
+        conv.is_curie(v) for v in mixed
+    ]
+
+
+def test_hash_triple_vector(spark, sconv):
+    df = sconv.spark.createDataFrame(
+        [Row(s="mesh:C000089", p="skos:exactMatch", o="CHEBI:28646")]
+    )
+    row = df.select(
+        sconv.hash_triple("s", "p", "o").alias("h"),
+        sconv.hash_triple("s", "p", "o", negate=True).alias("hn"),
+    ).first()
+    assert row["h"] == "36a1f9244ea7641a90987c82f33c25c0c13712ee8f48207b2a0825f8a4e4e26a"
+    assert row["hn"] == row["h"] + "~"
+
+
+def test_w3c_kernels(spark):
+    from curies_spark.core import is_w3c_curie, is_w3c_prefix
+
+    curies = [":test", "_:test", "4cdn:test", "", "GO:123", "[x]", "a b", "x"]
+    got = _run(spark, curies, is_w3c_curie_col("v"))
+    assert got == [is_w3c_curie(v) for v in curies]
+
+    prefixes = ["GO", "_", "3dmet", "GO:", "a.b-c_d", ""]
+    got = _run(spark, prefixes, is_w3c_prefix_col("v"))
+    assert got == [is_w3c_prefix(v) for v in prefixes]
+
+
+def test_strict_audit(spark, sconv):
+    df = spark.createDataFrame([Row(v="CHEBI:1"), Row(v="missing:1")])
+    with pytest.raises(StrictConversionError):
+        sconv.df_expand(df, "v", "uri", strict=True)
+    ok = sconv.df_expand(df.filter("v = 'CHEBI:1'"), "v", "uri", strict=True)
+    assert ok.count() == 1
+
+
+def test_expand_plan_is_native(spark, sconv):
+    """The expand path must stay in the JVM: no Python UDF nodes in the plan."""
+    df = spark.createDataFrame([Row(v="CHEBI:1")])
+    plan = df.select(sconv.expand("v").alias("u"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_compress_native_plan_is_native(spark, sconv):
+    df = spark.createDataFrame([Row(v=f"{CHEBI}1")])
+    plan = df.select(sconv.compress("v").alias("c"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
