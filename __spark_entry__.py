@@ -1,38 +1,446 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is a Spark-first implementation of an operator
+from SURVEY.md §2 over the driver-provided parquet tables; each
+``oracle_sql()`` entry is the equivalent DuckDB SQL. Shared input
+derivations and oracle-SQL generators live in
+:mod:`curies_spark.plans.demo` so the two sides cannot drift.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from curies_spark.functions import SparkConverter, kernels
+from curies_spark.operators import triples as T
+from curies_spark.operators.discovery import discover_records_df
+from curies_spark.plans import demo
+from curies_spark.plans.demo import (
+    CURIE_EXPR,
+    TRIPLE_OBJECT_EXPR,
+    TRIPLE_PREDICATE_EXPR,
+    TRIPLE_SUBJECT_EXPR,
+    URI_EXPR,
+    demo_converter,
+    oracle_compress_case,
+    oracle_expand_case,
+    oracle_standardize_curie_case,
+    oracle_standardize_prefix_case,
+    oracle_standardize_uri_case,
+)
+
+_CONVERTER = demo_converter()
+_SPARK_CONVERTERS: dict[int, SparkConverter] = {}
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _sc(spark: SparkSession) -> SparkConverter:
+    key = id(spark)
+    if key not in _SPARK_CONVERTERS:
+        _SPARK_CONVERTERS[key] = SparkConverter(spark, _CONVERTER)
+    return _SPARK_CONVERTERS[key]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _uris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").selectExpr(f"{URI_EXPR} AS uri")
+
+
+def _curies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").selectExpr(f"{CURIE_EXPR} AS curie")
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").selectExpr(
+        f"{TRIPLE_SUBJECT_EXPR} AS subject",
+        f"{TRIPLE_PREDICATE_EXPR} AS predicate",
+        f"{TRIPLE_OBJECT_EXPR} AS object",
+    )
+
+
+_TRIPLES_SQL = (
+    f"SELECT {TRIPLE_SUBJECT_EXPR} AS subject, {TRIPLE_PREDICATE_EXPR} AS predicate, "
+    f"{TRIPLE_OBJECT_EXPR} AS object FROM orders"
+)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    return _uris(spark, sf_dir).select("uri", sc.compress("uri").alias("curie"))
+
+
+def q_compress_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    return _uris(spark, sf_dir).select(
+        "uri", sc.compress("uri", passthrough=True).alias("curie")
+    )
+
+
+def q_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    return _curies(spark, sf_dir).select("curie", sc.expand("curie").alias("uri"))
+
+
+def q_expand_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    return _curies(spark, sf_dir).select(
+        "curie", sc.expand("curie", passthrough=True).alias("uri")
+    )
+
+
+def q_standardize_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    return _curies(spark, sf_dir).select(
+        "curie", sc.standardize_curie("curie").alias("std_curie")
+    )
+
+
+def q_standardize_uri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    return _uris(spark, sf_dir).select(
+        "uri", sc.standardize_uri("uri").alias("std_uri")
+    )
+
+
+def q_standardize_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    return (
+        _curies(spark, sf_dir)
+        .select(T.curie_prefix("curie").alias("prefix"))
+        .select("prefix", sc.standardize_prefix("prefix").alias("std_prefix"))
+    )
+
+
+def q_parse_curie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    parsed = sc.parse_curie("curie")
+    return _curies(spark, sf_dir).select(
+        "curie",
+        parsed.getField("prefix").alias("prefix"),
+        parsed.getField("identifier").alias("identifier"),
+    )
+
+
+def q_expand_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    return (
+        _curies(spark, sf_dir)
+        .select("curie", F.explode(sc.expand_all("curie")).alias("uri"))
+    )
+
+
+def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    mixed = _uris(spark, sf_dir).withColumnRenamed("uri", "value").unionByName(
+        _curies(spark, sf_dir).withColumnRenamed("curie", "value")
+    )
+    return mixed.select(
+        "value",
+        sc.is_uri("value").alias("is_uri"),
+        sc.is_curie("value").alias("is_curie"),
+    )
+
+
+def q_compress_or_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    mixed = _uris(spark, sf_dir).withColumnRenamed("uri", "value").unionByName(
+        _curies(spark, sf_dir).withColumnRenamed("curie", "value")
+    )
+    return mixed.select(
+        "value", sc.compress_or_standardize("value").alias("curie")
+    )
+
+
+def q_w3c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    values = _curies(spark, sf_dir).withColumnRenamed("curie", "value")
+    return values.select(
+        "value",
+        kernels.is_w3c_curie_col("value").alias("w3c_curie"),
+        kernels.is_w3c_prefix_col(T.curie_prefix("value")).alias("w3c_prefix"),
+    )
+
+
+def q_triple_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sconv = _sc(spark)
+    # hashing requires fully-expandable triples (reference hash is over
+    # strictly expanded URIs, triples/hash_utils.py:86-115)
+    df = _t(spark, sf_dir, "orders").selectExpr(
+        f"{demo.HASH_SUBJECT_EXPR} AS subject",
+        f"{demo.HASH_PREDICATE_EXPR} AS predicate",
+        f"{demo.HASH_OBJECT_EXPR} AS object",
+    )
+    return df.select(
+        "subject",
+        "predicate",
+        "object",
+        sconv.hash_triple("subject", "predicate", "object").alias("triple_hash"),
+    )
+
+
+def q_keep_prefixes_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.keep_prefixes_both(_triples(spark, sf_dir), {"p1", "p2"})
+
+
+def q_exclude_same_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the derivation emits (p1, p1) strata, so this filter has real work
+    return T.exclude_same_prefixes(_triples(spark, sf_dir))
+
+
+def q_keep_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.keep_predicates(_triples(spark, sf_dir), "skos:exactMatch")
+
+
+def q_many_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.get_prefix_stratified_many_to_many(_triples(spark, sf_dir)).distinct()
+
+
+def q_exclude_many_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.exclude_prefix_stratified_many_to_many(_triples(spark, sf_dir)).distinct()
+
+
+def q_reference_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.get_reference_index(_triples(spark, sf_dir)).select(
+        "reference", F.concat_ws("|", "references").alias("objects")
+    )
+
+
+def q_unique_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.get_df_unique_prefixes(_curies(spark, sf_dir), "curie")
+
+
+def q_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return discover_records_df(_uris(spark, sf_dir), "uri", cutoff=2)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on triples: distinct (s,p,o) with multiplicity."""
+    return (
+        _triples(spark, sf_dir)
+        .groupBy("subject", "predicate", "object")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "compress": q_compress,
+    "compress_passthrough": q_compress_passthrough,
+    "expand": q_expand,
+    "expand_passthrough": q_expand_passthrough,
+    "standardize_curie": q_standardize_curie,
+    "standardize_uri": q_standardize_uri,
+    "standardize_prefix": q_standardize_prefix,
+    "parse_curie": q_parse_curie,
+    "expand_all": q_expand_all,
+    "predicates_is_uri_is_curie": q_predicates,
+    "compress_or_standardize": q_compress_or_standardize,
+    "w3c_validation": q_w3c,
+    "triple_hash": q_triple_hash,
+    "keep_prefixes_both": q_keep_prefixes_both,
+    "exclude_same_prefixes": q_exclude_same_prefixes,
+    "keep_predicates": q_keep_predicates,
+    "many_to_many": q_many_to_many,
+    "exclude_many_to_many": q_exclude_many_to_many,
+    "reference_index": q_reference_index,
+    "unique_prefixes": q_unique_prefixes,
+    "discover": q_discover,
+    "dedup_exact": q_dedup_exact,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL)
+# ---------------------------------------------------------------------------
+
+_URIS_SQL = f"SELECT {URI_EXPR} AS uri FROM lineitem"
+_CURIES_SQL = f"SELECT {CURIE_EXPR} AS curie FROM lineitem"
+_MIXED_SQL = (
+    f"SELECT uri AS value FROM ({_URIS_SQL}) "
+    f"UNION ALL SELECT curie AS value FROM ({_CURIES_SQL})"
+)
+
+_NCNAME = "[A-Za-z_][A-Za-z0-9.\\-_]*"
+
+_M2M_CTES = f"""
+WITH t AS ({_TRIPLES_SQL}),
+parts AS (
+    SELECT subject, predicate, object,
+           split_part(subject, ':', 1) AS sp,
+           substr(subject, strpos(subject, ':') + 1) AS sid,
+           split_part(object, ':', 1) AS op,
+           substr(object, strpos(object, ':') + 1) AS oid
+    FROM t
+),
+edges AS (SELECT DISTINCT sp, op, sid, oid FROM parts),
+popular AS (
+    SELECT sp, op, oid FROM edges GROUP BY sp, op, oid HAVING count(*) > 1
+),
+pedges AS (SELECT e.* FROM edges e JOIN popular USING (sp, op, oid)),
+smany AS (
+    SELECT sp, op, sid FROM pedges GROUP BY sp, op, sid HAVING count(*) > 1
+),
+surviving AS (SELECT pe.* FROM pedges pe JOIN smany USING (sp, op, sid)),
+m2m AS (
+    SELECT DISTINCT subject, predicate, object
+    FROM parts JOIN surviving USING (sp, op, sid, oid)
+)
+"""
+
+
+def _expand_all_oracle() -> str:
+    conv = demo_converter()
+    selects = []
+    for record in conv.records:
+        all_prefixes = ", ".join(f"'{p}'" for p in record._all_prefixes)
+        for uri_prefix in (record.uri_prefix, *record.uri_prefix_synonyms):
+            selects.append(
+                "SELECT curie, concat('"
+                + uri_prefix.replace("'", "''")
+                + "', substr(curie, strpos(curie, ':') + 1)) AS uri "
+                f"FROM ({_CURIES_SQL}) "
+                f"WHERE strpos(curie, ':') > 0 AND split_part(curie, ':', 1) IN ({all_prefixes})"
+            )
+    return " UNION ALL ".join(selects)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    compress = oracle_compress_case("uri")
+    expand = oracle_expand_case("curie")
+    return {
+        "compress": f"SELECT uri, {compress} AS curie FROM ({_URIS_SQL})",
+        "compress_passthrough": (
+            f"SELECT uri, {oracle_compress_case('uri', passthrough=True)} AS curie "
+            f"FROM ({_URIS_SQL})"
+        ),
+        "expand": f"SELECT curie, {expand} AS uri FROM ({_CURIES_SQL})",
+        "expand_passthrough": (
+            f"SELECT curie, {oracle_expand_case('curie', passthrough=True)} AS uri "
+            f"FROM ({_CURIES_SQL})"
+        ),
+        "standardize_curie": (
+            f"SELECT curie, {oracle_standardize_curie_case('curie')} AS std_curie "
+            f"FROM ({_CURIES_SQL})"
+        ),
+        "standardize_uri": (
+            f"SELECT uri, {oracle_standardize_uri_case('uri')} AS std_uri "
+            f"FROM ({_URIS_SQL})"
+        ),
+        "standardize_prefix": (
+            "SELECT prefix, "
+            + oracle_standardize_prefix_case("prefix")
+            + " AS std_prefix FROM (SELECT split_part(curie, ':', 1) AS prefix "
+            f"FROM ({_CURIES_SQL}))"
+        ),
+        "parse_curie": (
+            "SELECT curie, "
+            + oracle_standardize_prefix_case("split_part(curie, ':', 1)")
+            + " AS prefix, CASE WHEN ("
+            + oracle_standardize_prefix_case("split_part(curie, ':', 1)")
+            + ") IS NOT NULL THEN substr(curie, strpos(curie, ':') + 1) END AS identifier "
+            f"FROM ({_CURIES_SQL})"
+        ),
+        "expand_all": _expand_all_oracle(),
+        "predicates_is_uri_is_curie": (
+            f"SELECT value, ({oracle_compress_case('value')}) IS NOT NULL AS is_uri, "
+            f"({oracle_expand_case('value')}) IS NOT NULL AS is_curie "
+            f"FROM ({_MIXED_SQL})"
+        ),
+        "compress_or_standardize": (
+            f"SELECT value, coalesce({oracle_compress_case('value')}, "
+            f"{oracle_standardize_curie_case('value')}) AS curie FROM ({_MIXED_SQL})"
+        ),
+        "w3c_validation": (
+            "SELECT value, "
+            "CASE WHEN value LIKE '%[%' OR value LIKE '%]%' THEN FALSE "
+            "WHEN trim(value) = '' THEN FALSE "
+            "WHEN strpos(value, ':') = 0 THEN TRUE "
+            "WHEN split_part(value, ':', 1) = '' THEN TRUE "
+            f"ELSE regexp_full_match(split_part(value, ':', 1), '{_NCNAME}') END AS w3c_curie, "
+            f"regexp_full_match(CASE WHEN strpos(value, ':') > 0 THEN split_part(value, ':', 1) ELSE value END, '{_NCNAME}') AS w3c_prefix "
+            f"FROM (SELECT curie AS value FROM ({_CURIES_SQL}))"
+        ),
+        "triple_hash": (
+            f"SELECT subject, predicate, object, sha256(concat("
+            f"{oracle_expand_case('subject')}, ' ', "
+            f"{oracle_expand_case('predicate')}, ' ', "
+            f"{oracle_expand_case('object')})) AS triple_hash FROM ("
+            f"SELECT {demo.HASH_SUBJECT_EXPR} AS subject, "
+            f"{demo.HASH_PREDICATE_EXPR} AS predicate, "
+            f"{demo.HASH_OBJECT_EXPR} AS object FROM orders)"
+        ),
+        "keep_prefixes_both": (
+            f"SELECT * FROM ({_TRIPLES_SQL}) "
+            "WHERE split_part(subject, ':', 1) IN ('p1', 'p2') "
+            "AND split_part(object, ':', 1) IN ('p1', 'p2')"
+        ),
+        "exclude_same_prefixes": (
+            f"SELECT * FROM ({_TRIPLES_SQL}) "
+            "WHERE split_part(subject, ':', 1) <> split_part(object, ':', 1)"
+        ),
+        "keep_predicates": (
+            f"SELECT * FROM ({_TRIPLES_SQL}) WHERE predicate = 'skos:exactMatch'"
+        ),
+        "many_to_many": f"{_M2M_CTES} SELECT * FROM m2m",
+        "exclude_many_to_many": (
+            f"{_M2M_CTES} SELECT DISTINCT subject, predicate, object FROM t "
+            "ANTI JOIN m2m USING (subject, predicate, object)"
+        ),
+        "reference_index": (
+            f"SELECT subject AS reference, "
+            "string_agg(DISTINCT object, '|' ORDER BY object) AS objects "
+            f"FROM ({_TRIPLES_SQL}) GROUP BY subject"
+        ),
+        "unique_prefixes": (
+            f"SELECT DISTINCT split_part(curie, ':', 1) AS prefix FROM ({_CURIES_SQL})"
+        ),
+        "discover": (
+            "WITH uris AS (SELECT DISTINCT uri FROM ("
+            + _URIS_SQL
+            + ") WHERE uri IS NOT NULL AND NOT (starts_with(uri, 'https://github.com') AND strpos(uri, 'issues') > 0)), "
+            "cand AS (SELECT uri, CASE "
+            "WHEN regexp_full_match(uri, '(.*#)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*#)[\\p{L}\\p{N}]+', 1) "
+            "WHEN regexp_full_match(uri, '(.*/)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*/)[\\p{L}\\p{N}]+', 1) "
+            "WHEN regexp_full_match(uri, '(.*_)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*_)[\\p{L}\\p{N}]+', 1) "
+            "END AS uri_prefix FROM uris), "
+            "grouped AS (SELECT uri_prefix, count(DISTINCT substr(uri, length(uri_prefix) + 1)) AS n_luids "
+            "FROM cand WHERE uri_prefix IS NOT NULL GROUP BY uri_prefix HAVING n_luids >= 2) "
+            "SELECT concat('ns', CAST(row_number() OVER (ORDER BY uri_prefix) AS VARCHAR)) AS prefix, "
+            "uri_prefix, n_luids FROM grouped"
+        ),
+        "dedup_exact": (
+            f"SELECT subject, predicate, object, count(*) AS n "
+            f"FROM ({_TRIPLES_SQL}) GROUP BY subject, predicate, object"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: compress the URI corpus at sf0.001 and aggregate per
+    canonical prefix — exercises broadcast, longest-prefix matching, and
+    partial aggregation end to end."""
+    sf_dir = "/root/testdata/sf0.001"
+    sc = _sc(spark)
+    return (
+        _uris(spark, sf_dir)
+        .select(sc.compress("uri", passthrough=True).alias("curie"))
+        .groupBy(T.curie_prefix("curie").alias("prefix"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prefix")
+    )

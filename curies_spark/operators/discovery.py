@@ -1,0 +1,110 @@
+"""Distributed URI-prefix discovery.
+
+DataFrame twin of /root/reference/src/curies/discovery.py:138-265 (the
+driver-scale port lives in :mod:`curies_spark.core.discovery`). The
+per-URI delimiter logic compiles to a chain of anchored regexes —
+greedy ``(.*<delim>)`` captures everything up to the *last* delimiter,
+matching the reference's ``rsplit(delimiter, maxsplit=1)``; the LUID
+must be alphanumeric (``[\\p{L}\\p{N}]+`` ≈ ``str.isalnum``).
+
+Aggregation is ``countDistinct(luid)`` per candidate URI prefix — a
+partial+final hash aggregate; the result set (distinct URI prefixes) is
+driver-scale by construction, so the final ``ns``-numbering sort is a
+single-partition window over a tiny set.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..core.converter import Converter
+from ..core.discovery import DEFAULT_DELIMITERS
+from ..core.record import Record
+
+__all__ = ["discover", "discover_records_df", "uri_prefix_candidate_col"]
+
+#: unicode-ish alphanumeric, Java regex class (≈ Python str.isalnum)
+_ALNUM = r"[\p{L}\p{N}]+"
+
+
+def uri_prefix_candidate_col(
+    uri: "Column | str", *, delimiters: "Sequence[str] | None" = None
+) -> Column:
+    """Candidate URI prefix for one URI, or NULL.
+
+    First delimiter (priority order) whose rightmost split yields an
+    alphanumeric LUID wins (reference discovery.py:258-264).
+    """
+    import re as _re
+
+    c = F.col(uri) if isinstance(uri, str) else uri
+    delimiters = tuple(delimiters) if delimiters else DEFAULT_DELIMITERS
+    expr: Column = F.lit(None).cast("string")
+    for delimiter in reversed(delimiters):
+        d = _re.escape(delimiter)
+        pattern = f"^(.*{d}){_ALNUM}$"
+        expr = F.when(c.rlike(pattern), F.regexp_extract(c, pattern, 1)).otherwise(expr)
+    return expr
+
+
+def discover_records_df(
+    df: DataFrame,
+    column: str = "uri",
+    *,
+    delimiters: "Sequence[str] | None" = None,
+    cutoff: "int | None" = None,
+    metaprefix: str = "ns",
+    converter: "Converter | None" = None,
+) -> DataFrame:
+    """Distributed discovery → DataFrame of (prefix, uri_prefix, n_luids).
+
+    Mirrors reference discovery.py:138-228: URIs already parsable by the
+    given converter are skipped; candidate prefixes with ≥ cutoff
+    distinct LUIDs survive; ``ns`` numbering follows the lexicographic
+    sort of URI prefixes.
+    """
+    c = F.col(column)
+    uris = df.select(c.alias("uri")).where(c.isNotNull()).distinct()
+    # the GitHub-issues special case, reference discovery.py:252-255
+    uris = uris.filter(
+        ~(F.col("uri").startswith("https://github.com") & F.col("uri").contains("issues"))
+    )
+    if converter is not None:
+        from ..functions.kernels import compress_col
+
+        uris = uris.filter(compress_col("uri", converter).isNull())
+
+    candidate = uri_prefix_candidate_col("uri", delimiters=delimiters)
+    luid = F.expr("substring(uri, length(_uri_prefix) + 1)")
+    grouped = (
+        uris.select(candidate.alias("_uri_prefix"), F.col("uri"))
+        .where(F.col("_uri_prefix").isNotNull())
+        .select("_uri_prefix", luid.alias("_luid"))
+        .groupBy("_uri_prefix")
+        .agg(F.countDistinct("_luid").alias("n_luids"))
+    )
+    if cutoff is not None:
+        grouped = grouped.filter(F.col("n_luids") >= cutoff)
+    # the surviving prefix set is driver-scale; a single-partition sort
+    # for deterministic ns-numbering is intentional
+    w = Window.orderBy("_uri_prefix")
+    return grouped.select(
+        F.concat(F.lit(metaprefix), F.row_number().over(w).cast("string")).alias("prefix"),
+        F.col("_uri_prefix").alias("uri_prefix"),
+        "n_luids",
+    )
+
+
+def discover(
+    df: DataFrame,
+    column: str = "uri",
+    **kwargs,
+) -> Converter:
+    """Distributed discovery → driver-side Converter (collects the tiny
+    discovered prefix map, as converters are driver-scale objects)."""
+    rows = discover_records_df(df, column, **kwargs).collect()
+    return Converter(
+        [Record(prefix=r["prefix"], uri_prefix=r["uri_prefix"]) for r in rows]
+    )

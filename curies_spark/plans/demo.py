@@ -1,0 +1,205 @@
+"""Demo fixtures shared by ``__spark_entry__`` queries and their DuckDB oracles.
+
+The driver verifies each Spark query against an equivalent DuckDB SQL
+string over the same parquet tables (see repo README / TESTDATA.md). To
+keep the two sides in lock-step, this module defines:
+
+- the demo extended prefix map (overlapping URI prefixes + synonyms, the
+  same shapes as reference tests/test_api.py:299-320), and
+- derivation rules that turn TPC-H-ish columns into URIs / CURIEs /
+  triples, each expressed ONCE as a SQL fragment valid in *both* Spark
+  SQL and DuckDB, plus
+- oracle-side SQL generators (e.g. the longest-prefix CASE chain) built
+  from the same EPM object the Spark kernels broadcast.
+"""
+
+from __future__ import annotations
+
+from ..core.converter import Converter
+
+__all__ = [
+    "DEMO_EPM",
+    "demo_converter",
+    "oracle_compress_case",
+    "oracle_expand_case",
+    "oracle_standardize_prefix_case",
+    "URI_EXPR",
+    "CURIE_EXPR",
+    "TRIPLE_SUBJECT_EXPR",
+    "TRIPLE_OBJECT_EXPR",
+    "TRIPLE_PREDICATE_EXPR",
+]
+
+CHEBI = "http://purl.obolibrary.org/obo/CHEBI_"
+GO = "http://purl.obolibrary.org/obo/GO_"
+OBO = "http://purl.obolibrary.org/obo/"
+
+DEMO_EPM = [
+    {
+        "prefix": "CHEBI",
+        "prefix_synonyms": ["chebi"],
+        "uri_prefix": CHEBI,
+        "uri_prefix_synonyms": ["https://identifiers.org/chebi:"],
+    },
+    {"prefix": "GO", "uri_prefix": GO},
+    # overlapping URI prefix to exercise longest-prefix matching
+    {"prefix": "OBO", "uri_prefix": OBO},
+    {"prefix": "mesh", "uri_prefix": "http://id.nlm.nih.gov/mesh/"},
+    {"prefix": "skos", "uri_prefix": "http://www.w3.org/2004/02/skos/core#"},
+    {
+        "prefix": "pubmed",
+        "prefix_synonyms": ["PMID"],
+        "uri_prefix": "https://pubmed.ncbi.nlm.nih.gov/",
+        "uri_prefix_synonyms": ["http://www.ncbi.nlm.nih.gov/pubmed/"],
+    },
+]
+
+
+def demo_converter() -> Converter:
+    return Converter.from_extended_prefix_map(DEMO_EPM)
+
+
+# ---------------------------------------------------------------------------
+# shared input derivations (valid in BOTH Spark SQL and DuckDB)
+# ---------------------------------------------------------------------------
+
+#: URIs derived from lineitem: a skewed mix of canonical prefixes, a
+#: synonym URI prefix, the overlapping OBO prefix, and unparsable noise.
+#: Skew is intentional (CHEBI dominates) to mirror the Zipfian prefix
+#: distribution called out in SURVEY.md §4.
+URI_EXPR = (
+    "CASE (l_orderkey * 7 + l_linenumber) % 8 "
+    f"WHEN 0 THEN concat('{CHEBI}', CAST(l_partkey AS BIGINT)) "
+    f"WHEN 1 THEN concat('{CHEBI}', CAST(l_suppkey AS BIGINT)) "
+    f"WHEN 2 THEN concat('{GO}', CAST(l_partkey AS BIGINT)) "
+    f"WHEN 3 THEN concat('{OBO}', 'go.owl') "
+    "WHEN 4 THEN concat('https://identifiers.org/chebi:', CAST(l_partkey AS BIGINT)) "
+    "WHEN 5 THEN concat('http://www.ncbi.nlm.nih.gov/pubmed/', CAST(l_orderkey AS BIGINT)) "
+    "WHEN 6 THEN concat('http://id.nlm.nih.gov/mesh/C', CAST(l_partkey AS BIGINT)) "
+    "ELSE concat('http://example.org/missing/', CAST(l_partkey AS BIGINT)) END"
+)
+
+#: CURIEs derived from lineitem: canonical, synonym, unknown prefixes,
+#: multi-colon identifiers, and empty identifiers.
+CURIE_EXPR = (
+    "CASE (l_orderkey * 5 + l_linenumber) % 8 "
+    "WHEN 0 THEN concat('CHEBI:', CAST(l_partkey AS BIGINT)) "
+    "WHEN 1 THEN concat('chebi:', CAST(l_partkey AS BIGINT)) "
+    "WHEN 2 THEN concat('GO:', CAST(l_partkey AS BIGINT)) "
+    "WHEN 3 THEN concat('PMID:', CAST(l_orderkey AS BIGINT)) "
+    "WHEN 4 THEN concat('mesh:C', CAST(l_partkey AS BIGINT)) "
+    "WHEN 5 THEN concat('OBO:a:b:', CAST(l_partkey AS BIGINT)) "
+    "WHEN 6 THEN 'CHEBI:' "
+    "ELSE concat('missing:', CAST(l_partkey AS BIGINT)) END"
+)
+
+#: Mapping-style triples derived from orders. Modulo classes create true
+#: 1:1, 1:N, N:1 and M:N structures; the second branch produces
+#: same-prefix (p1, p1) and sparse (p1, p3) strata so prefix filters and
+#: M:N detection have non-trivial work on every query.
+TRIPLE_SUBJECT_EXPR = "concat('p1:', CAST(o_orderkey % 40 AS BIGINT))"
+TRIPLE_OBJECT_EXPR = (
+    "CASE o_orderkey % 7 "
+    "WHEN 0 THEN concat('p1:', CAST(o_orderkey % 11 AS BIGINT)) "
+    "WHEN 1 THEN concat('p3:', CAST(o_orderkey AS BIGINT)) "
+    "ELSE concat('p2:', CAST(o_orderkey % 25 AS BIGINT)) END"
+)
+TRIPLE_PREDICATE_EXPR = (
+    "CASE o_orderkey % 3 WHEN 0 THEN 'skos:exactMatch' "
+    "WHEN 1 THEN 'skos:closeMatch' ELSE 'rdfs:seeAlso' END"
+)
+
+#: Fully-expandable triples (all prefixes registered in the demo EPM) for
+#: the SHA-256 hash query — the reference hashes over *expanded* URIs
+#: (triples/hash_utils.py:86-115), so every prefix must resolve.
+HASH_SUBJECT_EXPR = "concat('mesh:C', CAST(o_orderkey % 1000 AS BIGINT))"
+HASH_OBJECT_EXPR = "concat('CHEBI:', CAST(o_custkey AS BIGINT))"
+HASH_PREDICATE_EXPR = (
+    "CASE o_orderkey % 2 WHEN 0 THEN 'skos:exactMatch' ELSE 'skos:closeMatch' END"
+)
+
+#: Synthetic mention-bearing text derived from documents — the same
+#: deterministic sentence on both sides, so regex mention scans agree.
+CONTENT_EXPR = (
+    "concat(text, ' see ', "
+    f"'{CHEBI}', CAST(doc_id AS BIGINT), "
+    "' and GO:', CAST(doc_id * 7 AS BIGINT), "
+    "' or https://identifiers.org/chebi:', CAST(doc_id % 13 AS BIGINT), "
+    "' not http://example.org/x/', CAST(doc_id AS BIGINT))"
+)
+
+
+# ---------------------------------------------------------------------------
+# oracle-side SQL generators (DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def oracle_compress_case(uri_sql: str, *, passthrough: bool = False) -> str:
+    """DuckDB CASE chain implementing longest-prefix-match compression for
+    the demo EPM — ordered longest URI prefix first, mirroring the trie
+    guarantee (reference api.py:1762-1769)."""
+    conv = demo_converter()
+    entries = sorted(
+        conv.reverse_prefix_map.items(), key=lambda kv: len(kv[0]), reverse=True
+    )
+    whens = " ".join(
+        f"WHEN starts_with({uri_sql}, {_sql_quote(up)}) "
+        f"THEN concat({_sql_quote(p)}, ':', substr({uri_sql}, {len(up) + 1}))"
+        for up, p in entries
+    )
+    default = f" ELSE {uri_sql}" if passthrough else ""
+    return f"CASE {whens}{default} END"
+
+
+def oracle_expand_case(curie_sql: str, *, passthrough: bool = False) -> str:
+    """DuckDB expression implementing CURIE→URI expansion with synonym
+    prefix standardization for the demo EPM."""
+    conv = demo_converter()
+    prefix = f"CASE WHEN strpos({curie_sql}, ':') > 0 THEN split_part({curie_sql}, ':', 1) END"
+    identifier = f"substr({curie_sql}, strpos({curie_sql}, ':') + 1)"
+    whens = " ".join(
+        f"WHEN {prefix} = {_sql_quote(p)} THEN concat({_sql_quote(up)}, {identifier})"
+        for p, up in conv.prefix_map.items()
+    )
+    default = f" ELSE {curie_sql}" if passthrough else ""
+    return f"CASE {whens}{default} END"
+
+
+def oracle_standardize_prefix_case(prefix_sql: str) -> str:
+    conv = demo_converter()
+    whens = " ".join(
+        f"WHEN {prefix_sql} = {_sql_quote(syn)} THEN {_sql_quote(p)}"
+        for syn, p in conv.synonym_to_prefix.items()
+    )
+    return f"CASE {whens} END"
+
+
+def oracle_standardize_curie_case(curie_sql: str, *, passthrough: bool = False) -> str:
+    prefix = f"split_part({curie_sql}, ':', 1)"
+    identifier = f"substr({curie_sql}, strpos({curie_sql}, ':') + 1)"
+    std = oracle_standardize_prefix_case(prefix)
+    expr = (
+        f"CASE WHEN strpos({curie_sql}, ':') > 0 AND ({std}) IS NOT NULL "
+        f"THEN concat({std}, ':', {identifier}) END"
+    )
+    if passthrough:
+        expr = f"coalesce({expr}, {curie_sql})"
+    return expr
+
+
+def oracle_standardize_uri_case(uri_sql: str) -> str:
+    """Longest-prefix parse then re-expand through the canonical URI prefix."""
+    conv = demo_converter()
+    entries = sorted(
+        conv.reverse_prefix_map.items(), key=lambda kv: len(kv[0]), reverse=True
+    )
+    whens = " ".join(
+        f"WHEN starts_with({uri_sql}, {_sql_quote(up)}) "
+        f"THEN concat({_sql_quote(conv.bimap[p])}, substr({uri_sql}, {len(up) + 1}))"
+        for up, p in entries
+    )
+    return f"CASE {whens} END"

@@ -1,0 +1,199 @@
+"""Ports of reference triples tests to the DataFrame operators.
+
+Fixture topology from /root/reference/tests/test_triples/test_ops.py:19-61
+(1:1, 1:N, N:1, M:N, cross-prefix, duplicate) and test_filter.py.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from curies_spark.core import Converter
+from curies_spark.operators import triples as T
+from curies_spark.operators.discovery import discover as spark_discover
+
+EXACT = "skos:exactMatch"
+SUB = "rdfs:subClassOf"
+
+# reference test_ops.py:40-58
+M1 = Row(subject="p1:1", predicate=EXACT, object="p2:A")  # one-to-one
+M2 = Row(subject="p1:2", predicate=EXACT, object="p2:B")  # one-to-many
+M3 = Row(subject="p1:2", predicate=EXACT, object="p2:C")
+M4 = Row(subject="p1:4", predicate=EXACT, object="p2:D")  # many-to-one
+M5 = Row(subject="p1:5", predicate=EXACT, object="p2:D")
+M6 = Row(subject="p1:6", predicate=EXACT, object="p2:E")  # many-to-many
+M7 = Row(subject="p1:6", predicate=EXACT, object="p2:F")
+M8 = Row(subject="p1:7", predicate=EXACT, object="p2:E")
+M9 = Row(subject="p1:7", predicate=EXACT, object="p2:F")
+M10 = Row(subject="p1:1", predicate=EXACT, object="p3:gamma")
+M11 = Row(subject="p1:1", predicate=EXACT, object="p2:A")  # duplicate of M1
+
+ALL = [M1, M2, M3, M4, M5, M6, M7, M8, M9, M10, M11]
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    return spark.createDataFrame(ALL)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.select("subject", "predicate", "object").collect()]
+
+
+def test_many_to_many(tdf):
+    # reference test_ops.py:203-209: exactly the M:N component survives
+    got = sorted(set(_rows(T.get_prefix_stratified_many_to_many(tdf))))
+    want = sorted({tuple(m) for m in [M6, M7, M8, M9]})
+    assert got == want
+
+    kept = _rows(T.exclude_prefix_stratified_many_to_many(tdf))
+    assert sorted(kept) == sorted(tuple(m) for m in [M1, M2, M3, M4, M5, M10, M11])
+
+
+def test_many_to_many_needs_both_sides(spark):
+    """1:N alone and N:1 alone are not M:N (reference test_ops.py:137-173)."""
+    df = spark.createDataFrame([M1, M2, M3])  # only 1:N
+    assert _rows(T.get_prefix_stratified_many_to_many(df)) == []
+    df = spark.createDataFrame([M4, M5])  # only N:1
+    assert _rows(T.get_prefix_stratified_many_to_many(df)) == []
+
+
+def test_many_to_many_flip_filter(spark):
+    """The flip step (reference ops.py:120-131) requires the subject to have
+    ≥2 *popular* objects: s1→{o1,o2}, o1 popular, o2 not → not M:N."""
+    rows = [
+        Row(subject="p1:s1", predicate=EXACT, object="p2:o1"),
+        Row(subject="p1:s1", predicate=EXACT, object="p2:o2"),
+        Row(subject="p1:s2", predicate=EXACT, object="p2:o1"),
+    ]
+    df = spark.createDataFrame(rows)
+    assert _rows(T.get_prefix_stratified_many_to_many(df)) == []
+
+
+def test_reference_index(tdf):
+    fwd = {
+        r["reference"]: list(r["references"])
+        for r in T.get_reference_index(tdf).collect()
+    }
+    assert fwd == {
+        "p1:1": ["p2:A", "p3:gamma"],
+        "p1:2": ["p2:B", "p2:C"],
+        "p1:4": ["p2:D"],
+        "p1:5": ["p2:D"],
+        "p1:6": ["p2:E", "p2:F"],
+        "p1:7": ["p2:E", "p2:F"],
+    }
+    bwd = {
+        r["reference"]: list(r["references"])
+        for r in T.get_reference_index(tdf, backward=True).collect()
+    }
+    assert bwd["p2:D"] == ["p1:4", "p1:5"]
+
+
+def test_prefix_filters(spark):
+    # reference test_filter.py:55-160 shapes
+    c1, c2, c3 = "DOID:0050577", "mesh:C562966", "umls:C4551571"
+    m1 = Row(subject=c1, predicate=EXACT, object=c2)
+    m2 = Row(subject=c2, predicate=EXACT, object=c3)
+    m3 = Row(subject=c1, predicate=EXACT, object=c3)
+    df = spark.createDataFrame([m1, m2, m3])
+
+    assert _rows(T.keep_prefixes_both(df, {"DOID", "mesh"})) == [tuple(m1)]
+    with pytest.raises(ValueError):
+        T.keep_prefixes_both(df, {"DOID"})
+    assert sorted(_rows(T.keep_prefixes_either(df, {"DOID", "mesh"}))) == sorted(
+        [tuple(m1), tuple(m2), tuple(m3)]
+    )
+    assert _rows(T.keep_subject_prefixes(df, "mesh")) == [tuple(m2)]
+    assert _rows(T.keep_object_prefixes(df, "mesh")) == [tuple(m1)]
+    assert _rows(T.exclude_subject_prefixes(df, "mesh")) == [tuple(m1), tuple(m3)]
+    assert _rows(T.exclude_object_prefixes(df, {"mesh", "umls"})) == []
+    assert _rows(T.exclude_prefixes_both(df, "umls")) == [tuple(m1)]
+
+    same = Row(subject="DOID:1", predicate=SUB, object="DOID:2")
+    df2 = spark.createDataFrame([m1, same])
+    assert _rows(T.exclude_same_prefixes(df2)) == [tuple(m1)]
+
+    assert _rows(T.keep_predicates(df2, SUB)) == [tuple(same)]
+
+
+def test_reference_membership_filters(spark):
+    c1, c2, c3 = "DOID:0050577", "mesh:C562966", "umls:C4551571"
+    m1 = Row(subject=c1, predicate=EXACT, object=c2)
+    m2 = Row(subject=c2, predicate=EXACT, object=c3)
+    df = spark.createDataFrame([m1, m2])
+
+    assert _rows(T.keep_references_either(df, [c1])) == [tuple(m1)]
+    assert _rows(T.keep_references_both(df, [c1, c2])) == [tuple(m1)]
+    with pytest.raises(ValueError):
+        T.keep_references_both(df, [c1])
+    assert _rows(T.exclude_references_both(df, [c1])) == [tuple(m2)]
+
+
+def test_exclude_triples_and_hash(spark):
+    converter = Converter.from_prefix_map(
+        {
+            "DOID": "http://purl.obolibrary.org/obo/DOID_",
+            "skos": "http://www.w3.org/2004/02/skos/core#",
+            "mesh": "http://id.nlm.nih.gov/mesh/",
+            "umls": "https://uts.nlm.nih.gov/uts/umls/concept/",
+            "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+        }
+    )
+    c1, c2, c3 = "DOID:0050577", "mesh:C562966", "DOID:225"
+    m1 = Row(subject=c1, predicate=EXACT, object=c2)
+    m2 = Row(subject=c2, predicate=EXACT, object=c3)
+    m3 = Row(subject=c1, predicate="rdfs:subClassOf", object=c3)
+    df = spark.createDataFrame([m1, m2, m3])
+
+    # known digest from reference test_filter.py:365-373
+    m1_hash = "081f943d3791dae3a85f8eb9190fee3fbdc47ba269a374e4a0a28a2b0b982625"
+    assert _rows(T.keep_triples_by_hash(df, converter, m1_hash)) == [tuple(m1)]
+
+    excl = spark.createDataFrame([m2])
+    assert sorted(_rows(T.exclude_triples(df, excl))) == sorted([tuple(m1), tuple(m3)])
+
+
+def test_df_filters(spark):
+    df = spark.createDataFrame(
+        [Row(curie="CHEBI:1"), Row(curie="CHEBI:2"), Row(curie="GO:3")]
+    )
+    assert T.filter_df_by_prefixes(df, "curie", "CHEBI").count() == 2
+    assert T.filter_df_by_curies(df, "curie", ["CHEBI:1", "GO:3"]).count() == 2
+    prefixes = {r["prefix"] for r in T.get_df_unique_prefixes(df, "curie").collect()}
+    assert prefixes == {"CHEBI", "GO"}
+
+
+def test_distributed_discovery(spark):
+    from pyspark.sql import functions as F
+
+    uris = (
+        [Row(uri=f"http://ran.dom/{i:03}") for i in range(30)]
+        + [Row(uri=f"http://a.org/path#x{i}") for i in range(4)]
+        + [Row(uri=f"http://c.org/obo/GO_{i:07}") for i in range(2)]
+        + [Row(uri="http://d.org/path#b ad")]
+    )
+    df = spark.createDataFrame(uris)
+    converter = spark_discover(df, "uri")
+    # must agree exactly with the driver-side reference port
+    from curies_spark.core import discover as core_discover
+
+    expected = core_discover([r["uri"] for r in uris])
+    assert {(r.prefix, r.uri_prefix) for r in converter.records} == {
+        (r.prefix, r.uri_prefix) for r in expected.records
+    }
+    assert converter.compress("http://ran.dom/002") is not None
+
+    # with a pre-existing converter, its URIs are skipped
+    known = Converter.from_prefix_map({"GO": "http://c.org/obo/GO_"})
+    conv2 = spark_discover(df, "uri", converter=known)
+    expected2 = core_discover([r["uri"] for r in uris], converter=known)
+    assert {r.uri_prefix for r in conv2.records} == {
+        r.uri_prefix for r in expected2.records
+    }
+
+    # cutoff semantics
+    conv3 = spark_discover(df, "uri", cutoff=4)
+    expected3 = core_discover([r["uri"] for r in uris], cutoff=4)
+    assert {(r.prefix, r.uri_prefix) for r in conv3.records} == {
+        (r.prefix, r.uri_prefix) for r in expected3.records
+    }
