@@ -1,0 +1,68 @@
+"""Skew-handling utilities for Zipfian key distributions.
+
+Prefix distributions in real corpora are heavily skewed (obo/pubmed
+dominate — see north_rule); any aggregation or join keyed by prefix puts
+most of the data on a few reducers. Two standard remedies, both used by
+the KG pipeline:
+
+- **Two-stage salted aggregation**: aggregate on (key, salt) first, then
+  merge per key. For algebraic aggregates Spark's partial aggregation
+  already achieves this map-side; the explicit form is needed for
+  ``collect_set``/``countDistinct``-style aggregations where map-side
+  combine can't fully reduce.
+- **Salted repartition before wide writes**: spreads a hot partition key
+  across ``n_salt`` files so one straggler task doesn't serialize the
+  write.
+
+AQE (``spark.sql.adaptive.enabled`` + skewJoin) is the runtime backstop;
+these helpers shape the plan so the backstop is rarely needed.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["salted_count_distinct", "salted_repartition", "with_salt"]
+
+
+def with_salt(df: DataFrame, n_salt: int, *, cols: "Sequence[str] | None" = None) -> DataFrame:
+    """Attach a deterministic ``_salt`` column in [0, n_salt)."""
+    basis = [F.col(c) for c in cols] if cols else [F.monotonically_increasing_id()]
+    return df.withColumn("_salt", F.pmod(F.xxhash64(*basis), F.lit(n_salt)))
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    key: str,
+    value: str,
+    *,
+    n_salt: int = 64,
+    out: str = "n_distinct",
+) -> DataFrame:
+    """``SELECT key, count(DISTINCT value)`` that survives hot keys.
+
+    Stage 1 dedups (key, value) within (key, salt-of-value) groups —
+    uniform because the salt is derived from the value; stage 2 sums the
+    per-salt distinct counts. No single reducer ever sees a hot key's
+    full value set.
+    """
+    salted = df.select(
+        F.col(key), F.col(value), F.pmod(F.xxhash64(F.col(value)), F.lit(n_salt)).alias("_salt")
+    )
+    stage1 = salted.groupBy(key, "_salt").agg(
+        F.countDistinct(value).alias("_partial")
+    )
+    return stage1.groupBy(key).agg(F.sum("_partial").cast("long").alias(out))
+
+
+def salted_repartition(df: DataFrame, key: "str | Column", n_salt: int) -> DataFrame:
+    """Repartition by (key, salt) so a hot key spans ``n_salt`` partitions.
+
+    The salt is a hash of the full row — deterministic under task retry
+    (a ``rand()`` salt would reshuffle rows on recomputation and can
+    drop/duplicate rows mid-write)."""
+    k = F.col(key) if isinstance(key, str) else key
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+    return df.repartition(k, salt)
