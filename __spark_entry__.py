@@ -230,6 +230,181 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data operator queries (dedup / similarity / text)
+# ---------------------------------------------------------------------------
+
+
+def _sql_over(spark: SparkSession, sf_dir: str, sql: str, tables: "list[str]") -> DataFrame:
+    """Run a shared (Spark+DuckDB dialect) SQL derivation over sf tables."""
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.dedup import exact_dup_groups
+    from curies_spark.plans.demo_training import TRUNC_DOCS_SQL
+
+    docs = _sql_over(spark, sf_dir, TRUNC_DOCS_SQL, ["documents"])
+    return exact_dup_groups(docs).select(
+        "content_hash", "n_docs", F.concat_ws(",", "doc_ids").alias("doc_ids")
+    )
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.dedup import minhash_signature
+    from curies_spark.plans.demo_training import NEAR_DUP_DOCS_SQL
+
+    docs = _sql_over(spark, sf_dir, NEAR_DUP_DOCS_SQL, ["documents"])
+    return minhash_signature(docs)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.dedup import minhash_candidate_pairs
+    from curies_spark.plans.demo_training import NEAR_DUP_DOCS_SQL
+
+    docs = _sql_over(spark, sf_dir, NEAR_DUP_DOCS_SQL, ["documents"])
+    return minhash_candidate_pairs(docs)
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.dedup import ngram_jaccard_pairs
+    from curies_spark.plans.demo_training import NEAR_DUP_DOCS_SQL
+
+    docs = _sql_over(spark, sf_dir, NEAR_DUP_DOCS_SQL, ["documents"])
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.text import doc_fingerprint_col
+    from curies_spark.plans.demo_training import NEAR_DUP_DOCS_SQL
+
+    docs = _sql_over(spark, sf_dir, NEAR_DUP_DOCS_SQL, ["documents"])
+    return docs.select("doc_id", doc_fingerprint_col("text").alias("fingerprint"))
+
+
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.text import (
+        language_id_col,
+        quality_features,
+        token_count_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).select(
+        "doc_id",
+        language_id_col("text").alias("lang"),
+        "q_chars",
+        "q_tokens",
+        "q_mean_token_len",
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        "q_distinct_ratio",
+        token_count_col("text", method="bpe").alias("q_bpe_tokens"),
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures — pandas-UDF path; no SQL oracle (rows-only check)."""
+    from curies_spark.operators.dedup import simhash_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash_col("text").alias("simhash"))
+
+
+def _cosine_vs_query(e: "F.Column", q: "F.Column") -> "F.Column":
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(v):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    ne, nq = norm(e), norm(q)
+    return dot / (
+        F.when(ne > 0, ne).otherwise(F.lit(1.0))
+        * F.when(nq > 0, nq).otherwise(F.lit(1.0))
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", _cosine_vs_query(F.col("embedding"), F.col("qe")).alias("_c")
+    )
+    w = Window.orderBy(F.desc("_c"), F.col("vec_id"))
+    return (
+        scored.select(
+            "vec_id",
+            F.round("_c", 9).alias("cosine"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(10)
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from curies_spark.operators.similarity import hyperplanes, lsh_signature_col
+
+    planes = hyperplanes(64, 6, seed=7)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qe"))
+        .withColumn("qsig", lsh_signature_col(F.col("qe"), planes))
+    )
+    cand = (
+        emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
+        .crossJoin(F.broadcast(q))
+        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= 1)
+    )
+    scored = cand.select(
+        "vec_id", _cosine_vs_query(F.col("embedding"), F.col("qe")).alias("_c")
+    )
+    w = Window.orderBy(F.desc("_c"), F.col("vec_id"))
+    return (
+        scored.select(
+            "vec_id",
+            F.round("_c", 9).alias("cosine"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .orderBy(F.desc("_c"), "vec_id")
+        .limit(10)
+    )
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection + entity linking over synthetic doc content —
+    the KG pipeline's hot path, oracle-checked."""
+    from curies_spark.plans.pipeline import extract_mentions, link_mentions
+
+    sc = _sc(spark)
+    content = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{demo.CONTENT_EXPR} AS content"
+    )
+    linked = link_mentions(extract_mentions(content), sc.broadcast)
+    return (
+        linked.filter(F.col("entity").isNotNull())
+        .groupBy("entity")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compress": q_compress,
     "compress_passthrough": q_compress_passthrough,
@@ -253,6 +428,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unique_prefixes": q_unique_prefixes,
     "discover": q_discover,
     "dedup_exact": q_dedup_exact,
+    "dedup_exact_docs": q_dedup_exact_docs,
+    "minhash_signature": q_minhash_signature,
+    "minhash_pairs": q_minhash_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
+    "fingerprint": q_fingerprint,
+    "lang_quality": q_lang_quality,
+    "simhash_docs": q_simhash_docs,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "mentions": q_mentions,
 }
 
 
@@ -422,6 +607,46 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             f"SELECT subject, predicate, object, count(*) AS n "
             f"FROM ({_TRIPLES_SQL}) GROUP BY subject, predicate, object"
+        ),
+        **_training_oracles(),
+    }
+
+
+def _training_oracles() -> dict[str, str]:
+    from curies_spark.plans import demo_training as dt
+    from curies_spark.plans.pipeline import CURIE_MENTION_RE, URI_MENTION_RE
+
+    uri_re = URI_MENTION_RE.replace("'", "''")
+    curie_re = CURIE_MENTION_RE.replace("'", "''")
+    content_cte = (
+        f"WITH c AS (SELECT doc_id, {demo.CONTENT_EXPR} AS content FROM documents), "
+        "m AS (SELECT doc_id, unnest(regexp_extract_all(content, "
+        f"'{uri_re}')) AS mention FROM c "
+        "UNION ALL SELECT doc_id, unnest(regexp_extract_all("
+        f"regexp_replace(content, '{uri_re}', ' ', 'g'), '{curie_re}')) AS mention FROM c)"
+    )
+    entity = (
+        f"coalesce({oracle_compress_case('mention')}, "
+        f"{oracle_standardize_curie_case('mention')})"
+    )
+    return {
+        "dedup_exact_docs": (
+            f"WITH docs AS ({dt.TRUNC_DOCS_SQL}) "
+            "SELECT sha256(text) AS content_hash, count(*) AS n_docs, "
+            "string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids "
+            "FROM docs GROUP BY sha256(text) HAVING count(*) > 1"
+        ),
+        "minhash_signature": dt.oracle_minhash_sql(),
+        "minhash_pairs": dt.oracle_minhash_pairs_sql(),
+        "jaccard_pairs": dt.oracle_jaccard_pairs_sql(),
+        "fingerprint": dt.oracle_fingerprint_sql(),
+        "lang_quality": dt.oracle_lang_quality_sql(),
+        "ann_topk": dt.oracle_ann_topk_sql(),
+        "ann_lsh_topk": dt.oracle_ann_lsh_topk_sql(),
+        "mentions": (
+            f"{content_cte} SELECT entity, count(*) AS n FROM ("
+            f"SELECT {entity} AS entity FROM m) WHERE entity IS NOT NULL "
+            "GROUP BY entity"
         ),
     }
 

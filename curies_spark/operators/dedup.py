@@ -1,0 +1,306 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design per operator:
+
+- **Exact**: hash-groupBy on the content digest — uniform partitioning,
+  partial+final aggregation, no skew risk.
+- **MinHash+LSH**: shingle → 64-bit hash → per-permutation min
+  aggregates (one shuffle keyed by doc) → band keys → candidate pairs
+  via a self-equi-join on (band, key). The join key space is the band
+  hash, which is uniform; at 10^12 docs the band join is the only wide
+  operation and AQE handles residual bucket skew.
+- **n-gram Jaccard**: distinct (doc, shingle) → self-join on shingle
+  with a document-frequency cap (hot shingles are pruned — otherwise a
+  stopword shingle creates a quadratic join blow-up) → pair intersection
+  counts → Jaccard via the sizes.
+- **SimHash**: the one operator whose bit-twiddling genuinely doesn't
+  fit Spark expressions — implemented as an Arrow-batched pandas UDF
+  with vectorized numpy popcounts; pair search is then a native
+  self-join on rotated bit-bands.
+
+Every hash derives from sha2/xxhash64 of content — deterministic,
+engine-independent, no RNG.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType
+
+__all__ = [
+    "exact_dedup",
+    "exact_dup_groups",
+    "minhash_candidate_pairs",
+    "minhash_signature",
+    "ngram_jaccard_pairs",
+    "shingle_hash_col",
+    "shingles_col",
+    "simhash_col",
+    "simhash_candidate_pairs",
+]
+
+#: MinHash permutation parameters (a*h + b mod P), deterministic.
+MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
+_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
+_B = [17, 29, 41, 53, 67, 79, 97, 107, 127, 137, 149, 163, 179, 191, 211, 223]
+N_PERM = 16
+BAND_SIZE = 4  # 4 bands × 4 rows
+
+
+def shingles_col(text: "Column | str", *, k: int = 3) -> Column:
+    """k-token shingles of the lowercased whitespace tokenization.
+
+    Documents shorter than k tokens produce their full token join as a
+    single shingle (so short docs still dedup exactly)."""
+    from .text import tokens_col
+
+    toks = tokens_col(text)
+    n = F.size(toks)
+    full = F.array(F.concat_ws(" ", toks))
+    windows = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.when(n >= k, windows).otherwise(full)
+
+
+def shingle_hash_col(shingle: Column) -> Column:
+    """Deterministic 48-bit integer hash of a shingle via sha256 — stable
+    across engines (unlike xxhash64, DuckDB can reproduce it), and small
+    enough that ``a * h + b`` stays inside a signed 64-bit long under
+    ANSI arithmetic (max a=59 → 59·2^48 < 2^63)."""
+    return F.conv(F.substring(F.sha2(shingle, 256), 1, 12), 16, 10).cast(LongType())
+
+
+def exact_dedup(df: DataFrame, *, text: str = "text", keep: str = "min", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per exact content hash (the ``min`` id wins —
+    deterministic, unlike dropDuplicates' arbitrary survivor)."""
+    h = F.sha2(F.col(text), 256).alias("_h")
+    winners = (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners, on=id_col, how="left_semi")
+
+
+def exact_dup_groups(df: DataFrame, *, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates: (content_hash, n_docs, doc_ids sorted)."""
+    return (
+        df.select(F.sha2(F.col(text), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: N_PERM min-aggregates over the
+    shingle hashes — a single shuffle keyed by document id."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles_col(text, k=k)).alias("_sh")
+    ).select(F.col(id_col), shingle_hash_col(F.col("_sh")).alias("_h"))
+    aggs = [
+        F.min((F.lit(_A[i]) * F.col("_h") + F.lit(_B[i])) % F.lit(MINHASH_PRIME)).alias(
+            f"mh{i}"
+        )
+        for i in range(N_PERM)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on any band of the
+    signature. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    sig = minhash_signature(df, text=text, id_col=id_col, k=k)
+    n_bands = N_PERM // BAND_SIZE
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.struct(
+                *[
+                    F.col(f"mh{b * BAND_SIZE + r}").alias(f"v{r}")
+                    for r in range(BAND_SIZE)
+                ]
+            ).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    # the join key is the raw band tuple (band index + BAND_SIZE minhash
+    # values) — engine-independent and exactly as selective as hashing it
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: "int | None" = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    ``max_shingle_df`` prunes shingles appearing in more than that many
+    documents before the self-join — the standard guard against the
+    quadratic blow-up a corpus-wide hot shingle would cause.
+    """
+    doc_shingles = (
+        df.select(F.col(id_col), F.explode(shingles_col(text, k=k)).alias("shingle"))
+        .distinct()
+    )
+    if max_shingle_df is not None:
+        rare = (
+            doc_shingles.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        doc_shingles = doc_shingles.join(rare, on="shingle", how="left_semi")
+    sizes = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+
+    a = doc_shingles.alias("a")
+    b = doc_shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("_size").alias("_size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("_size").alias("_size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("_inter")
+                / (F.col("_size_a") + F.col("_size_b") - F.col("_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_col(text: "Column | str", *, n_bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens — Arrow-batched pandas UDF
+    with numpy-vectorized bit counting (the documented slow-path escape
+    hatch: per-bit weighted sums have no reasonable Spark-native form).
+    """
+    import numpy as np
+
+    c = F.col(text) if isinstance(text, str) else text
+
+    @F.pandas_udf(LongType())
+    def _simhash(series: pd.Series) -> pd.Series:
+        import hashlib
+
+        def one(s):
+            if s is None:
+                return None
+            tokens = s.lower().split()
+            if not tokens:
+                return 0
+            hashes = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.sha256(t.encode("utf-8")).digest()[:8], "big"
+                    )
+                    for t in tokens
+                ),
+                dtype=np.uint64,
+                count=len(tokens),
+            )
+            bits = (hashes[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1
+            votes = bits.sum(axis=0) * 2 - len(tokens)
+            word = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(i)
+            return int(word.astype(np.int64))
+
+        return series.map(one)
+
+    return _simhash(c)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    simhash: str = "simhash",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: block on 16-bit rotated bands
+    (a pair within hamming distance ≤ 3 of 64 bits agrees on at least
+    one of 4 disjoint 16-bit bands, by pigeonhole), then verify the
+    exact hamming distance natively with bit_count(xor)."""
+    h = F.col(simhash)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("band"),
+                F.shiftrightunsigned(h, t * (64 // n_tables))
+                .bitwiseAND(F.lit((1 << (64 // n_tables)) - 1))
+                .alias("key"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = df.select(F.col(id_col), h.alias("_sh"), F.explode(bands).alias("bk")).select(
+        id_col, "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a._sh").bitwiseXOR(F.col("b._sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- Brute-force cosine top-k: the exact baseline. ``F.zip_with`` +
+  ``F.aggregate`` keep the arithmetic in the JVM; one pass, no shuffle
+  until the final top-k (which is a TakeOrdered, not a full sort).
+- LSH-bucketed ANN (random hyperplanes): the scale path. Hyperplane
+  normals are derived deterministically from sha256 of (seed, plane,
+  dim) so signatures are reproducible across runs and engines. Probing
+  cost drops from O(N) to O(N / 2^bits) per query at the usual recall
+  trade-off; multi-probe widens recall.
+- Embedding near-duplicate pairs: bucket join on full signatures, then
+  exact cosine verification.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "cosine_similarity_col",
+    "cosine_topk",
+    "embedding_near_dup_pairs",
+    "hyperplanes",
+    "lsh_signature_col",
+    "lsh_topk",
+]
+
+
+def _unit(v: "list[float]") -> "list[float]":
+    norm = sum(x * x for x in v) ** 0.5 or 1.0
+    return [x / norm for x in v]
+
+
+def hyperplanes(dim: int, n_planes: int, *, seed: int = 7) -> "list[list[float]]":
+    """Deterministic pseudo-random unit hyperplane normals: each component
+    derives from sha256(seed, plane, dim-index) mapped to [-1, 1]."""
+    planes = []
+    for p in range(n_planes):
+        v = []
+        for d in range(dim):
+            digest = hashlib.sha256(struct.pack(">III", seed, p, d)).digest()
+            u = int.from_bytes(digest[:8], "big") / float(1 << 64)
+            v.append(2.0 * u - 1.0)
+        planes.append(_unit(v))
+    return planes
+
+
+def _dot_lit(vec: Column, plane: "list[float]") -> Column:
+    lit = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(vec, lit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity_col(vec: Column, query: "list[float]") -> Column:
+    """Exact cosine similarity against a constant query vector, JVM-native."""
+    q = _unit([float(x) for x in query])
+    dot = _dot_lit(vec, q)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / F.when(norm > 0, norm).otherwise(F.lit(1.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: "list[float]",
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity; ties break on id for determinism."""
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_similarity_col(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_signature_col(vec: Column, planes: "list[list[float]]") -> Column:
+    """Random-hyperplane signature as a bigint bit field."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        bit = F.when(_dot_lit(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def lsh_topk(
+    df: DataFrame,
+    query: "list[float]",
+    *,
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_bits: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: probe the query's LSH bucket (plus all buckets within
+    ``multiprobe_bits`` bit flips), exact-rank inside the probed set."""
+    dim = len(query)
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    q = _unit([float(x) for x in query])
+    q_sig = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) > 0:
+            q_sig |= 1 << i
+    probes = {q_sig}
+    if multiprobe_bits >= 1:
+        probes.update(q_sig ^ (1 << i) for i in range(n_planes))
+
+    sig = lsh_signature_col(F.col(vec_col), planes)
+    candidates = df.withColumn("_sig", sig).filter(
+        F.col("_sig").isin([int(p) for p in probes])
+    )
+    return cosine_topk(candidates, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    dim: "int | None" = None,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: bucket on the full signature (very
+    similar vectors almost surely share all sign bits), verify with exact
+    cosine inside buckets."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    sig = lsh_signature_col(F.col(vec_col), planes)
+    tagged = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = a.join(
+        b,
+        on=[
+            F.col("a._sig") == F.col("b._sig"),
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        ],
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(side: str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(f"{side}.{vec_col}"),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

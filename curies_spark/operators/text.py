@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All JVM-native (split / regexp / array set-ops) — these run in the hot
+path over every document at corpus scale, so no Python is allowed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "doc_fingerprint_col",
+    "language_id_col",
+    "quality_features",
+    "quality_score_col",
+    "token_count_col",
+    "tokens_col",
+]
+
+#: minimal per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic (deliberately tiny: the operator shape is the
+#: point; swap in real lists at deployment)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with", "a"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "es"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "avec"],
+}
+
+#: a BPE-ish token regex: words, numbers, or single punctuation marks —
+#: the usual pre-tokenizer shape for token counting
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: ASCII punctuation as an explicit class — identical semantics in Java
+#: regex and RE2 (\\p{Punct} is Java-only)
+PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def tokens_col(text: "Column | str") -> Column:
+    """Whitespace tokens, lowercased, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def token_count_col(text: "Column | str", *, method: str = "whitespace") -> Column:
+    """Token count: ``whitespace`` split or a ``bpe``-ish regex count."""
+    c = F.col(text) if isinstance(text, str) else text
+    if method == "whitespace":
+        return F.size(tokens_col(c))
+    if method == "bpe":
+        return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    raise ValueError(f"unknown token counting method: {method}")
+
+
+def language_id_col(text: "Column | str") -> Column:
+    """Stopword-marker language ID: the language whose marker set has the
+    most distinct hits among the document's tokens; NULL when nothing hits.
+
+    Ties break by language code order (deterministic via max_by on a
+    (hits, lang) struct with reversed lang comparison avoided — we use
+    array_max over structs where hits dominate)."""
+    toks = tokens_col(text)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(
+                    F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+                ).alias("hits"),
+                # negative index so that on tied hits the earlier language wins
+                F.lit(-i).alias("prio"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, words) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best.getField("hits") > 0, best.getField("lang"))
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach the standard quality-heuristic features."""
+    c = F.col(text)
+    toks = tokens_col(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("q_mean_token_len"),
+        (
+            F.length(F.regexp_replace(c, f"[^{PUNCT_CLASS[1:-1]}]", ""))
+            / F.greatest(n_chars, F.lit(1))
+        ).alias("q_punct_ratio"),
+        (
+            F.size(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+                )
+            )
+            / F.greatest(n_tokens, F.lit(1))
+        ).alias("q_stopword_ratio"),
+        (F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1))).alias(
+            "q_distinct_ratio"
+        ),
+    )
+
+
+def quality_score_col(
+    *,
+    min_tokens: int = 5,
+    max_mean_token_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+) -> Column:
+    """Boolean keep/drop over the q_* features (Gopher-style rule gate)."""
+    return (
+        (F.col("q_tokens") >= min_tokens)
+        & (F.col("q_mean_token_len") <= max_mean_token_len)
+        & (F.col("q_punct_ratio") <= max_punct_ratio)
+    )
+
+
+def doc_fingerprint_col(text: "Column | str", *, k: int = 3) -> Column:
+    """Order-insensitive content fingerprint: sha256 over the sorted set
+    of k-token shingle hashes (a rolling-hash winnowing fingerprint whose
+    window is the whole document). Near-identical token streams collide;
+    any token edit changes ~k shingles."""
+    from .dedup import shingles_col
+
+    sh = shingles_col(text, k=k)
+    hashes = F.array_sort(
+        F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))
+    )
+    return F.sha2(F.concat_ws("", hashes), 256)

@@ -1,0 +1,230 @@
+"""Shared derivations + DuckDB oracle generators for the training-data
+operators (dedup / similarity / text analysis).
+
+Same contract as :mod:`curies_spark.plans.demo`: every derived input is
+ONE SQL string valid in both Spark SQL and DuckDB; every oracle SQL
+generator mirrors the exact algorithm of the corresponding operator in
+:mod:`curies_spark.operators` (same hash derivations, same constants),
+so the driver's value-hash comparison is byte-exact.
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import _A, _B, BAND_SIZE, MINHASH_PRIME, N_PERM
+from ..operators.similarity import hyperplanes
+from ..operators.text import BPE_TOKEN_RE, LANG_MARKERS, PUNCT_CLASS
+
+__all__ = [
+    "NEAR_DUP_DOCS_SQL",
+    "TRUNC_DOCS_SQL",
+    "oracle_minhash_sql",
+    "oracle_minhash_pairs_sql",
+    "oracle_jaccard_pairs_sql",
+    "oracle_lang_quality_sql",
+    "oracle_fingerprint_sql",
+    "oracle_ann_topk_sql",
+    "oracle_ann_lsh_topk_sql",
+]
+
+SHINGLE_K = 3
+
+#: documents with manufactured near-duplicates: odd doc_ids get the text
+#: of the preceding even doc_id plus one extra token (Jaccard ≈ n/(n+1))
+NEAR_DUP_DOCS_SQL = (
+    "SELECT a.doc_id AS doc_id, "
+    "CASE WHEN a.doc_id % 2 = 0 THEN a.text "
+    "ELSE concat(b.text, ' extratoken') END AS text "
+    "FROM documents a JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 2)"
+)
+
+#: truncated documents — truncation manufactures exact-duplicate groups
+TRUNC_DOCS_SQL = "SELECT doc_id, substr(text, 1, 30) AS text FROM documents"
+
+
+def _tokens(text_sql: str = "text") -> str:
+    return (
+        f"list_filter(string_split_regex(lower({text_sql}), '\\s+'), x -> x <> '')"
+    )
+
+
+def _shingle_cte(docs_sql: str, *, k: int = SHINGLE_K) -> str:
+    """CTE chain: docs → toks → sh (one row per doc_id, shingle)."""
+    return (
+        f"WITH docs AS ({docs_sql}), "
+        f"tok AS (SELECT doc_id, {_tokens()} AS toks FROM docs), "
+        "shl AS (SELECT doc_id, CASE WHEN len(toks) >= "
+        f"{k} THEN list_transform(generate_series(1, len(toks) - {k - 1}), "
+        f"i -> array_to_string(toks[i:i+{k - 1}], ' ')) "
+        "ELSE [array_to_string(toks, ' ')] END AS shingles FROM tok), "
+        "sh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shl)"
+    )
+
+
+_SHINGLE_HASH = "(('0x' || substr(sha256(shingle), 1, 12))::BIGINT)"
+
+
+def oracle_minhash_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
+    """Per-document MinHash signature, mirroring
+    :func:`curies_spark.operators.dedup.minhash_signature`."""
+    aggs = ", ".join(
+        f"min(({_A[i]} * h + {_B[i]}) % {MINHASH_PRIME}) AS mh{i}"
+        for i in range(N_PERM)
+    )
+    return (
+        f"{_shingle_cte(docs_sql)}, "
+        f"hashed AS (SELECT doc_id, {_SHINGLE_HASH} AS h FROM sh) "
+        f"SELECT doc_id, {aggs} FROM hashed GROUP BY doc_id"
+    )
+
+
+def oracle_minhash_pairs_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
+    """LSH candidate pairs via band-tuple equality."""
+    n_bands = N_PERM // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cols} FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"mh{b * BAND_SIZE + r} AS v{r}" for r in range(BAND_SIZE)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    join_cond = " AND ".join(f"l.v{r} = r.v{r}" for r in range(BAND_SIZE))
+    return (
+        f"WITH sig AS ({oracle_minhash_sql(docs_sql)}), "
+        f"banded AS ({band_selects}) "
+        "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
+        "FROM banded l JOIN banded r ON l.band = r.band AND "
+        f"{join_cond} AND l.doc_id < r.doc_id"
+    )
+
+
+def oracle_jaccard_pairs_sql(
+    docs_sql: str = NEAR_DUP_DOCS_SQL, *, threshold: float = 0.5
+) -> str:
+    return (
+        f"{_shingle_cte(docs_sql)}, "
+        "dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
+        "FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id) "
+        "SELECT id_a, id_b, i / (sa.sz + sb.sz - i) AS jaccard "
+        "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
+        "JOIN sizes sb ON sb.doc_id = id_b "
+        f"WHERE i / (sa.sz + sb.sz - i) >= {threshold}"
+    )
+
+
+def _marker_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+def oracle_lang_quality_sql(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """Language-ID + quality features, mirroring operators.text."""
+    langs = sorted(LANG_MARKERS)  # priority order on ties
+    hits = ", ".join(
+        f"len(list_intersect(toks, {_marker_list(lang)})) AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    lang_case = "CASE WHEN " + best + " = 0 THEN NULL"
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        if rest:
+            cond = " AND ".join(f"h_{lang} >= h_{o}" for o in rest)
+            lang_case += f" WHEN {cond} THEN '{lang}'"
+        else:
+            lang_case += f" ELSE '{lang}' END"
+    punct = PUNCT_CLASS[1:-1]
+    return (
+        f"WITH docs AS ({docs_sql}), "
+        f"tok AS (SELECT doc_id, text, {_tokens()} AS toks FROM docs), "
+        f"scored AS (SELECT doc_id, text, toks, {hits} FROM tok) "
+        "SELECT doc_id, "
+        f"{lang_case} AS lang, "
+        "length(text) AS q_chars, len(toks) AS q_tokens, "
+        "length(text) / greatest(len(toks), 1) AS q_mean_token_len, "
+        f"length(regexp_replace(text, '[^{punct}]', '', 'g')) / greatest(length(text), 1) AS q_punct_ratio, "
+        f"len(list_intersect(toks, {_marker_list('en')})) / greatest(len(toks), 1) AS q_stopword_ratio, "
+        "len(list_distinct(toks)) / greatest(len(toks), 1) AS q_distinct_ratio, "
+        f"len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS q_bpe_tokens "
+        "FROM scored"
+    )
+
+
+def oracle_fingerprint_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
+    return (
+        f"{_shingle_cte(docs_sql)}, "
+        "fp AS (SELECT doc_id, "
+        "sha256(array_to_string(list_sort(list(substr(sha256(shingle), 1, 16))), '')) AS fingerprint "
+        "FROM sh GROUP BY doc_id) SELECT doc_id, fingerprint FROM fp"
+    )
+
+
+_DOT_Q = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))"
+)
+_NORM = (
+    "sqrt(list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({side}.embedding[i] AS DOUBLE) * CAST({side}.embedding[i] AS DOUBLE))))"
+)
+
+
+def oracle_ann_topk_sql(*, k: int = 10) -> str:
+    """Exact cosine top-k against the vec_id=0 query vector; cosine is the
+    sequential double fold, normalized by both norms (query from data)."""
+    ne = _NORM.format(side="e")
+    nq = _NORM.format(side="q")
+    return (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+        "scored AS (SELECT e.vec_id, "
+        f"{_DOT_Q} / (CASE WHEN {ne} > 0 THEN {ne} ELSE 1 END * "
+        f"CASE WHEN {nq} > 0 THEN {nq} ELSE 1 END) AS cosine "
+        "FROM embeddings e CROSS JOIN q) "
+        "SELECT vec_id, round(cosine, 9) AS cosine, "
+        "CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+        f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
+def _plane_literal(plane: "list[float]") -> str:
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _sig_sql(side: str, planes: "list[list[float]]") -> str:
+    terms = []
+    for i, plane in enumerate(planes):
+        dot = (
+            "list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST({side}.embedding[i] AS DOUBLE) * ({_plane_literal(plane)})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def oracle_ann_lsh_topk_sql(*, k: int = 10, n_planes: int = 6, seed: int = 7) -> str:
+    """LSH-bucketed ANN: candidates within hamming ≤ 1 of the query's
+    hyperplane signature, exact cosine rank inside the candidate set."""
+    planes = hyperplanes(64, n_planes, seed=seed)
+    ne = _NORM.format(side="e")
+    nq = _NORM.format(side="q")
+    return (
+        "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+        f"sq AS (SELECT embedding, {_sig_sql('q', planes)} AS sig FROM q), "
+        f"se AS (SELECT e.vec_id, e.embedding, {_sig_sql('e', planes)} AS sig FROM embeddings e), "
+        "cand AS (SELECT se.vec_id, se.embedding, q.embedding AS qe "
+        "FROM se CROSS JOIN sq q WHERE bit_count(xor(se.sig::BIGINT, q.sig::BIGINT)) <= 1), "
+        "scored AS (SELECT c.vec_id, "
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.qe[i] AS DOUBLE))) / "
+        "(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) > 0 "
+        " THEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))) ELSE 1 END * "
+        " CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.qe[i] AS DOUBLE) * CAST(c.qe[i] AS DOUBLE)))) > 0 "
+        " THEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(c.qe[i] AS DOUBLE) * CAST(c.qe[i] AS DOUBLE)))) ELSE 1 END) AS cosine "
+        "FROM cand c) "
+        "SELECT vec_id, round(cosine, 9) AS cosine, "
+        "CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank "
+        f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )

@@ -1,0 +1,200 @@
+"""Tests for dedup, similarity, text-analysis, and multimodal operators."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from curies_spark.operators import dedup as D
+from curies_spark.operators import multimodal as M
+from curies_spark.operators import similarity as S
+from curies_spark.operators import text as X
+from curies_spark.operators.skew import salted_count_distinct
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog tonight"),  # near dup (jaccard 7/8)
+        Row(doc_id=4, text="el rapido zorro marron salta sobre el perro con la luna"),
+        Row(doc_id=5, text="completely different content about spark engines and data"),
+        Row(doc_id=6, text="tiny"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark, docs):
+    kept = D.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 deduped, min id wins
+
+    groups = D.exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert list(groups[0]["doc_ids"]) == [1, 2]
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d"), Row(doc_id=2, text="a b")])
+    got = {
+        r["doc_id"]: list(r["s"])
+        for r in df.select("doc_id", D.shingles_col("text", k=3).alias("s")).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[2] == ["a b"]  # shorter than k → whole doc
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidate_pairs(docs, k=3).collect()
+    }
+    assert (1, 2) in pairs  # exact dups always collide on every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should collide on ≥1 band
+    assert (4, 5) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (4, 5) not in pairs
+
+
+def test_simhash(spark, docs):
+    sh = docs.select("doc_id", D.simhash_col("text").alias("simhash"))
+    vals = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert vals[1] == vals[2]  # identical text → identical simhash
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # near-dup is measurably closer than unrelated content (short docs
+    # give noisy simhashes, so compare relative distances, not absolutes)
+    assert hamming(vals[1], vals[3]) < hamming(vals[1], vals[5])
+
+    # the banded blocking finds exact dups (hamming 0 always shares all bands)
+    pairs = D.simhash_candidate_pairs(sh, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0
+
+
+def test_cosine_topk(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    top = S.cosine_topk(df, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_matches_bruteforce_on_near_neighbors(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = i * math.pi / 100
+        rows.append(Row(vec_id=i, embedding=[math.cos(angle), math.sin(angle), 0.0]))
+    df = spark.createDataFrame(rows)
+    query = [1.0, 0.0, 0.0]
+    exact = [r["vec_id"] for r in S.cosine_topk(df, query, k=5).collect()]
+    approx = [r["vec_id"] for r in S.lsh_topk(df, query, k=5, n_planes=6).collect()]
+    # the top hit must be found; recall@5 ≥ 3 for this easy distribution
+    assert approx[0] == exact[0]
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_embedding_near_dup(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.001]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.99, n_planes=8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_text_analysis(spark, docs):
+    out = docs.select(
+        "doc_id",
+        X.token_count_col("text").alias("n_ws"),
+        X.token_count_col("text", method="bpe").alias("n_bpe"),
+        X.language_id_col("text").alias("lang"),
+        X.doc_fingerprint_col("text").alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_ws"] == 9
+    assert by_id[1]["lang"] == "en"
+    assert by_id[4]["lang"] == "es"
+    assert by_id[1]["fp"] == by_id[2]["fp"]
+    assert by_id[1]["fp"] != by_id[3]["fp"]
+
+    feats = X.quality_features(docs).filter(X.quality_score_col()).collect()
+    kept = {r["doc_id"] for r in feats}
+    assert 6 not in kept  # too short
+    assert 1 in kept
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        Row(media_id=1, kind="image", mime="image/png", width=4, height=4,
+            duration_ms=None, payload=bytearray(b"imgdata-1")),
+        Row(media_id=2, kind="video", mime="video/mp4", width=16, height=16,
+            duration_ms=3000, payload=bytearray(b"viddata-2")),
+        Row(media_id=3, kind="image", mime="image/png", width=2, height=2,
+            duration_ms=None, payload=None),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r["feature"] for r in M.extract_features(df).collect()}
+    assert feats[3] is None
+    assert len(feats[1]) == 8 and all(0 <= x <= 1 for x in feats[1])
+    # deterministic: same payload → same feature (float32 storage)
+    assert feats[1] == pytest.approx(M.deterministic_fake_decode(b"imgdata-1"), abs=1e-6)
+
+    frames = M.frame_sample(df, every_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts"]) for r in frames] == [
+        (2, 0), (2, 1000), (2, 2000), (2, 3000)
+    ]
+
+    # the real decoder stub must raise loudly
+    with pytest.raises(Exception):
+        M.extract_features(df, decode=M.decode_stub).collect()
+
+    # metadata-only projection prunes the payload column at the scan
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        p = os.path.join(tmp, "media")
+        df.write.parquet(p)
+        plan = (
+            M.media_metadata(spark.read.parquet(p))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "payload" not in plan
+
+
+def test_salted_count_distinct(spark, docs):
+    exploded = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+        F.col("doc_id"),
+    )
+    got = {
+        r["token"]: r["n_distinct"]
+        for r in salted_count_distinct(exploded, "token", "doc_id").collect()
+    }
+    want = {
+        r["token"]: r["n"]
+        for r in exploded.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert got == want
