@@ -614,16 +614,13 @@ def oracle_sql() -> dict[str, str]:
 
 def _training_oracles() -> dict[str, str]:
     from curies_spark.plans import demo_training as dt
-    from curies_spark.plans.pipeline import CURIE_MENTION_RE, URI_MENTION_RE
+    from curies_spark.plans.pipeline import MENTION_RE
 
-    uri_re = URI_MENTION_RE.replace("'", "''")
-    curie_re = CURIE_MENTION_RE.replace("'", "''")
+    mention_re = MENTION_RE.replace("'", "''")
     content_cte = (
         f"WITH c AS (SELECT doc_id, {demo.CONTENT_EXPR} AS content FROM documents), "
         "m AS (SELECT doc_id, unnest(regexp_extract_all(content, "
-        f"'{uri_re}')) AS mention FROM c "
-        "UNION ALL SELECT doc_id, unnest(regexp_extract_all("
-        f"regexp_replace(content, '{uri_re}', ' ', 'g'), '{curie_re}')) AS mention FROM c)"
+        f"'{mention_re}')) AS mention FROM c)"
     )
     entity = (
         f"coalesce({oracle_compress_case('mention')}, "

@@ -36,16 +36,21 @@ def uri_prefix_candidate_col(
 
     First delimiter (priority order) whose rightmost split yields an
     alphanumeric LUID wins (reference discovery.py:258-264).
-    """
-    import re as _re
 
+    Implemented with ``substring_index(uri, d, -1)`` (the rsplit tail) and
+    one anchored ``rlike`` over the *short* LUID instead of a greedy
+    ``(.*d)``-style regex over the whole URI — the backtracking full-string
+    match costs O(len²) per delimiter, the tail check O(len(luid)).
+    """
     c = F.col(uri) if isinstance(uri, str) else uri
     delimiters = tuple(delimiters) if delimiters else DEFAULT_DELIMITERS
     expr: Column = F.lit(None).cast("string")
     for delimiter in reversed(delimiters):
-        d = _re.escape(delimiter)
-        pattern = f"^(.*{d}){_ALNUM}$"
-        expr = F.when(c.rlike(pattern), F.regexp_extract(c, pattern, 1)).otherwise(expr)
+        # tail after the LAST occurrence (== str.rsplit(d, 1)[-1])
+        luid = F.substring_index(c, delimiter, -1)
+        cond = c.contains(delimiter) & luid.rlike(f"^{_ALNUM}$")
+        prefix = F.substring(c, 1, F.length(c) - F.length(luid))
+        expr = F.when(cond, prefix).otherwise(expr)
     return expr
 
 

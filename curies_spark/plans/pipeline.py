@@ -56,19 +56,24 @@ URI_MENTION_RE = r"https?://[^\s\"'<>()]+"
 CURIE_MENTION_RE = r"[A-Za-z_][A-Za-z0-9._-]*:[A-Za-z0-9][A-Za-z0-9._/-]*"
 
 
+#: Single-pass scan: URI alternative first, so a URI consumes its span
+#: before the CURIE alternative can fire inside it (leftmost-first
+#: alternation) — equivalent to extract-URIs-then-mask-then-extract-CURIEs
+#: but one regex pass over content instead of three.
+MENTION_RE = f"(?:{URI_MENTION_RE})|(?:{CURIE_MENTION_RE})"
+
+
 def extract_mentions(df: DataFrame, *, content: str = "content") -> DataFrame:
     """Scan content for URI and CURIE mentions → one row per mention.
 
-    URIs are extracted first and masked before the CURIE scan so
     ``chebi:42`` inside ``https://identifiers.org/chebi:42`` is not
-    double-counted. Pure native plan: two ``regexp_extract_all`` + one
-    ``explode`` — no Python, fully pipelined with the scan.
+    double-counted: the URI alternative matches first and consumes the
+    span. Pure native plan: one ``regexp_extract_all`` + one ``explode``
+    — no Python, fully pipelined with the scan.
     """
     c = F.col(content)
-    uris = F.regexp_extract_all(c, F.lit(URI_MENTION_RE), F.lit(0))
-    masked = F.regexp_replace(c, URI_MENTION_RE, " ")
-    curies = F.regexp_extract_all(masked, F.lit(CURIE_MENTION_RE), F.lit(0))
-    return df.withColumn("mention", F.explode(F.concat(uris, curies)))
+    mentions = F.regexp_extract_all(c, F.lit(MENTION_RE), F.lit(0))
+    return df.withColumn("mention", F.explode(mentions))
 
 
 def link_mentions(

@@ -1,0 +1,173 @@
+"""Differential oracle: our Spark engine vs the reference `curies` library.
+
+BASELINE.json's north rule requires the emitted triples and the
+compress/expand behavior to match the reference converter at P/R >= 0.95.
+This suite runs the *actual* reference implementation
+(/root/reference/src/curies, in-process, driver-side) on the same
+deterministic synthetic corpus and compares value-by-value:
+
+- compress / expand / standardize columns: exact agreement required.
+- emitted (subject, predicate, object) triples of the full KG pipeline:
+  precision and recall computed against a driver-side re-derivation that
+  uses the reference converter for every linking/expansion decision.
+
+The reference is imported read-only with a `pystow` I/O stub (that module
+is not installed in the sandbox and is only needed for its file readers,
+which this test never touches).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import types
+
+import pytest
+from pyspark.sql import functions as F
+
+from curies_spark.functions import SparkConverter
+from curies_spark.plans.pipeline import (
+    CURIE_MENTION_RE,
+    URI_MENTION_RE,
+    build_triples,
+    extract_mentions,
+    link_mentions,
+)
+from curies_spark.sources.synthetic import PIPELINE_EPM, generate_repos, pipeline_converter
+
+REFERENCE_SRC = "/root/reference/src"
+
+
+def _load_reference():
+    if "pystow" not in sys.modules:
+        pystow = types.ModuleType("pystow")
+        utils = types.ModuleType("pystow.utils")
+        utils.safe_open_reader = lambda *a, **k: None
+        utils.safe_open_writer = lambda *a, **k: None
+        pystow.utils = utils
+        sys.modules["pystow"] = pystow
+        sys.modules["pystow.utils"] = utils
+    if REFERENCE_SRC not in sys.path:
+        sys.path.insert(0, REFERENCE_SRC)
+    import curies as reference_curies
+
+    return reference_curies
+
+
+try:
+    ref = _load_reference()
+except Exception:  # pragma: no cover - reference unavailable
+    ref = None
+
+pytestmark = pytest.mark.skipif(ref is None, reason="reference library unavailable")
+
+N_FILES = 400
+
+
+@pytest.fixture(scope="module")
+def ref_converter():
+    return ref.Converter.from_extended_prefix_map(PIPELINE_EPM)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_repos(spark, N_FILES).cache()
+
+
+def _pr(ours: set, theirs: set) -> "tuple[float, float]":
+    if not ours or not theirs:
+        return (float(not theirs), float(not ours))
+    tp = len(ours & theirs)
+    return tp / len(ours), tp / len(theirs)
+
+
+def test_compress_matches_reference(spark, corpus, ref_converter):
+    """Every mention compresses identically to reference Converter.compress."""
+    sc = SparkConverter(spark, pipeline_converter())
+    mentions = extract_mentions(corpus).select("mention").distinct()
+    got = {
+        (r["mention"], r["curie"])
+        for r in mentions.select(
+            "mention", sc.compress("mention").alias("curie")
+        ).collect()
+    }
+    want = {
+        (m, ref_converter.compress(m)) for m, _ in got
+    }
+    assert got == want
+
+
+def test_expand_matches_reference(spark, corpus, ref_converter):
+    """CURIE mentions expand identically to reference Converter.expand."""
+    sc = SparkConverter(spark, pipeline_converter())
+    curies_df = (
+        extract_mentions(corpus)
+        .select("mention")
+        .filter(~F.col("mention").startswith("http"))
+        .distinct()
+    )
+    got = {
+        (r["mention"], r["uri"])
+        for r in curies_df.select("mention", sc.expand("mention").alias("uri")).collect()
+    }
+    want = {(m, ref_converter.expand(m)) for m, _ in got}
+    assert got == want
+
+
+def test_standardize_matches_reference(spark, corpus, ref_converter):
+    sc = SparkConverter(spark, pipeline_converter())
+    curies_df = (
+        extract_mentions(corpus)
+        .select("mention")
+        .filter(~F.col("mention").startswith("http"))
+        .distinct()
+    )
+    got = {
+        (r["mention"], r["std"])
+        for r in curies_df.select(
+            "mention", sc.standardize_curie("mention").alias("std")
+        ).collect()
+    }
+    want = {(m, ref_converter.standardize_curie(m)) for m, _ in got}
+    assert got == want
+
+
+def _reference_triples(rows, ref_converter) -> set:
+    """Driver-side re-derivation of the KG edges using the REFERENCE
+    converter for every decision (linking, prefix, expand_all)."""
+    uri_re = re.compile(URI_MENTION_RE)
+    curie_re = re.compile(CURIE_MENTION_RE)
+    triples: set = set()
+    repo_entities: set = set()
+    for row in rows:
+        mentions = uri_re.findall(row["content"])
+        mentions += curie_re.findall(uri_re.sub(" ", row["content"]))
+        for mention in mentions:
+            entity = ref_converter.compress_or_standardize(mention)
+            if entity is None:
+                continue
+            file_ref = f"codefile:{row['repo']}@{row['commit']}/{row['path']}"
+            triples.add((file_ref, "cs:mentions", entity))
+            repo_entities.add((row["repo"], entity))
+    for repo, entity in repo_entities:
+        prefix = entity.split(":", 1)[0]
+        triples.add((f"coderepo:{repo}", "cs:declaresPrefix", f"csprefix:{prefix}"))
+        for uri in ref_converter.expand_all(entity) or ():
+            triples.add((entity, "owl:sameAs", uri))
+    return triples
+
+
+def test_pipeline_triples_pr_vs_reference(spark, corpus, ref_converter):
+    """Full-pipeline differential: P/R of emitted (s,p,o) vs the
+    reference-converter derivation. north_rule threshold is 0.95; we hold
+    exact equality."""
+    sc = SparkConverter(spark, pipeline_converter())
+    linked = link_mentions(extract_mentions(corpus), sc.broadcast)
+    ours = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in build_triples(linked, sc.broadcast).collect()
+    }
+    theirs = _reference_triples(corpus.collect(), ref_converter)
+    precision, recall = _pr(ours, theirs)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert ours == theirs  # stronger: exact
