@@ -42,6 +42,7 @@ __all__ = [
     "URI_MENTION_RE",
     "build_triples",
     "extract_mentions",
+    "file_edges_raw",
     "link_mentions",
     "run_pipeline",
     "sha256_rollup",
@@ -87,15 +88,10 @@ def link_mentions(
     )
 
 
-def build_file_edges(linked: DataFrame) -> DataFrame:
-    """file-mentions-entity edges — file-scoped, so dedup within a shard
-    is globally correct (a file lives in exactly one shard).
-
-    ``dropDuplicates`` on the full (s, p, o) key hash-partitions
-    uniformly even when prefixes are Zipfian, so no salting is needed
-    here; skew handling matters for per-prefix aggregations (see
-    :mod:`curies_spark.operators.skew`).
-    """
+def file_edges_raw(linked: DataFrame) -> DataFrame:
+    """file-mentions-entity edge projection, duplicates included (one row
+    per linked mention). Batch callers dedup via :func:`build_file_edges`;
+    the streaming path dedups with a bounded watermark instead."""
     entities = linked.filter(F.col("entity").isNotNull())
     file_ref = F.concat(
         F.lit("codefile:"),
@@ -109,7 +105,19 @@ def build_file_edges(linked: DataFrame) -> DataFrame:
         file_ref.alias("subject"),
         F.lit("cs:mentions").alias("predicate"),
         F.col("entity").alias("object"),
-    ).dropDuplicates(["subject", "predicate", "object"])
+    )
+
+
+def build_file_edges(linked: DataFrame) -> DataFrame:
+    """file-mentions-entity edges — file-scoped, so dedup within a shard
+    is globally correct (a file lives in exactly one shard).
+
+    ``dropDuplicates`` on the full (s, p, o) key hash-partitions
+    uniformly even when prefixes are Zipfian, so no salting is needed
+    here; skew handling matters for per-prefix aggregations (see
+    :mod:`curies_spark.operators.skew`).
+    """
+    return file_edges_raw(linked).dropDuplicates(["subject", "predicate", "object"])
 
 
 def build_entity_edges(repo_entities: DataFrame, converter) -> DataFrame:
