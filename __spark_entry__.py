@@ -405,6 +405,156 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# triple-filter / membership / skew / multimodal queries
+# ---------------------------------------------------------------------------
+
+#: deterministic reference set for membership filters (present in the
+#: derived triple strata: subjects p1:0..39, objects p1/p2/p3)
+_REF_SET = ["p1:5", "p1:6", "p2:7", "p1:21"]
+
+
+def q_expand_or_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sc = _sc(spark)
+    mixed = _uris(spark, sf_dir).withColumnRenamed("uri", "value").unionByName(
+        _curies(spark, sf_dir).withColumnRenamed("curie", "value")
+    )
+    return mixed.select("value", sc.expand_or_standardize("value").alias("uri"))
+
+
+def q_filter_by_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.filter_df_by_prefixes(_curies(spark, sf_dir), "curie", ["CHEBI", "GO"])
+
+
+def q_filter_by_curies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _curies(spark, sf_dir)
+    smallest = [
+        r["curie"]
+        for r in df.select("curie").distinct().orderBy("curie").limit(10).collect()
+    ]
+    return T.filter_df_by_curies(df, "curie", smallest)
+
+
+def q_keep_prefixes_either(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.keep_prefixes_either(_triples(spark, sf_dir), {"p3"})
+
+
+def q_exclude_object_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.exclude_object_prefixes(_triples(spark, sf_dir), {"p3"})
+
+
+def q_keep_references_either(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.keep_references_either(_triples(spark, sf_dir), _REF_SET)
+
+
+def q_exclude_references_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.exclude_references_both(_triples(spark, sf_dir), _REF_SET)
+
+
+def q_exclude_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    exclusion = T.keep_predicates(t, "rdfs:seeAlso")
+    return T.exclude_triples(t, exclusion).distinct()
+
+
+def q_keep_triples_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sconv = _sc(spark)
+    df = _t(spark, sf_dir, "orders").selectExpr(
+        f"{demo.HASH_SUBJECT_EXPR} AS subject",
+        f"{demo.HASH_PREDICATE_EXPR} AS predicate",
+        f"{demo.HASH_OBJECT_EXPR} AS object",
+    )
+    h = sconv.hash_triple("subject", "predicate", "object")
+    hashes = [
+        r["h"]
+        for r in df.select(h.alias("h")).filter(F.col("h").startswith("0")).distinct().collect()
+    ]
+    return T.keep_triples_by_hash(df, sconv.converter, hashes).distinct()
+
+
+def q_reference_index_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.get_reference_index(_triples(spark, sf_dir), backward=True).select(
+        "reference", F.concat_ws("|", "references").alias("subjects")
+    )
+
+
+def q_salted_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.skew import salted_count_distinct
+
+    parts = _curies(spark, sf_dir).select(
+        T.curie_prefix("curie").alias("prefix"),
+        F.substr(F.col("curie"), F.locate(":", F.col("curie")) + F.lit(1)).alias(
+            "identifier"
+        ),
+    )
+    return salted_count_distinct(parts, "prefix", "identifier")
+
+
+def q_exact_dedup_keepmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.dedup import exact_dedup
+    from curies_spark.plans.demo_training import TRUNC_DOCS_SQL
+
+    docs = _sql_over(spark, sf_dir, TRUNC_DOCS_SQL, ["documents"])
+    return exact_dedup(docs).select("doc_id")
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.text import quality_features, quality_score_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(docs).filter(quality_score_col()).select("doc_id")
+
+
+def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(
+        emb, threshold=0.15, n_planes=8, seed=7, dim=64
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cosine"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — pandas-UDF signatures, rows-only check."""
+    from curies_spark.operators.dedup import simhash_candidate_pairs, simhash_col
+    from curies_spark.plans.demo_training import NEAR_DUP_DOCS_SQL
+
+    docs = _sql_over(spark, sf_dir, NEAR_DUP_DOCS_SQL, ["documents"])
+    signed = docs.select("doc_id", simhash_col("text").alias("simhash"))
+    return simhash_candidate_pairs(signed)
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.plans.demo_training import MEDIA_SQL
+
+    media = _sql_over(spark, sf_dir, MEDIA_SQL, ["documents"])
+    # opaque payload only exists Spark-side; metadata queries must prune it
+    return media.withColumn(
+        "payload", F.encode(F.sha2(F.col("media_id").cast("string"), 256), "UTF-8")
+    )
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_media(spark, sf_dir))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curies_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_media(spark, sf_dir), every_ms=1000)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction with the deterministic fake decoder
+    — exercises the streaming Arrow batch path; rows-only check."""
+    from curies_spark.operators.multimodal import extract_features
+
+    return extract_features(_media(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compress": q_compress,
     "compress_passthrough": q_compress_passthrough,
@@ -438,6 +588,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "mentions": q_mentions,
+    "expand_or_standardize": q_expand_or_standardize,
+    "filter_by_prefixes": q_filter_by_prefixes,
+    "filter_by_curies": q_filter_by_curies,
+    "keep_prefixes_either": q_keep_prefixes_either,
+    "exclude_object_prefixes": q_exclude_object_prefixes,
+    "keep_references_either": q_keep_references_either,
+    "exclude_references_both": q_exclude_references_both,
+    "exclude_triples": q_exclude_triples,
+    "keep_triples_by_hash": q_keep_triples_by_hash,
+    "reference_index_backward": q_reference_index_backward,
+    "salted_prefix_count": q_salted_prefix_count,
+    "exact_dedup_keepmin": q_exact_dedup_keepmin,
+    "quality_gate": q_quality_gate,
+    "near_dup_embeddings": q_near_dup_embeddings,
+    "simhash_pairs": q_simhash_pairs,
+    "media_metadata": q_media_metadata,
+    "frame_sample": q_frame_sample,
+    "media_features": q_media_features,
 }
 
 
@@ -608,7 +776,80 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT subject, predicate, object, count(*) AS n "
             f"FROM ({_TRIPLES_SQL}) GROUP BY subject, predicate, object"
         ),
+        **_filter_oracles(),
         **_training_oracles(),
+    }
+
+
+def _filter_oracles() -> dict[str, str]:
+    from curies_spark.plans.demo_training import MEDIA_SQL
+
+    refs = ", ".join(f"'{r}'" for r in _REF_SET)
+    hash_triples_sql = (
+        f"SELECT {demo.HASH_SUBJECT_EXPR} AS subject, "
+        f"{demo.HASH_PREDICATE_EXPR} AS predicate, "
+        f"{demo.HASH_OBJECT_EXPR} AS object FROM orders"
+    )
+    return {
+        "expand_or_standardize": (
+            f"SELECT value, coalesce({oracle_expand_case('value')}, "
+            f"{oracle_standardize_uri_case('value')}) AS uri FROM ({_MIXED_SQL})"
+        ),
+        "filter_by_prefixes": (
+            f"SELECT curie FROM ({_CURIES_SQL}) "
+            "WHERE split_part(curie, ':', 1) IN ('CHEBI', 'GO')"
+        ),
+        "filter_by_curies": (
+            f"SELECT curie FROM ({_CURIES_SQL}) WHERE curie IN ("
+            f"SELECT DISTINCT curie FROM ({_CURIES_SQL}) ORDER BY curie LIMIT 10)"
+        ),
+        "keep_prefixes_either": (
+            f"SELECT * FROM ({_TRIPLES_SQL}) "
+            "WHERE split_part(subject, ':', 1) = 'p3' "
+            "OR split_part(object, ':', 1) = 'p3'"
+        ),
+        "exclude_object_prefixes": (
+            f"SELECT * FROM ({_TRIPLES_SQL}) "
+            "WHERE split_part(object, ':', 1) <> 'p3'"
+        ),
+        "keep_references_either": (
+            f"SELECT * FROM ({_TRIPLES_SQL}) "
+            f"WHERE subject IN ({refs}) OR object IN ({refs})"
+        ),
+        "exclude_references_both": (
+            f"SELECT * FROM ({_TRIPLES_SQL}) "
+            f"WHERE subject NOT IN ({refs}) AND object NOT IN ({refs})"
+        ),
+        "exclude_triples": (
+            f"WITH t AS ({_TRIPLES_SQL}), "
+            "excl AS (SELECT * FROM t WHERE predicate = 'rdfs:seeAlso') "
+            "SELECT DISTINCT subject, predicate, object FROM t "
+            "ANTI JOIN excl USING (subject, predicate, object)"
+        ),
+        "keep_triples_by_hash": (
+            f"WITH ht AS ({hash_triples_sql}), "
+            "hashed AS (SELECT subject, predicate, object, sha256(concat("
+            f"{oracle_expand_case('subject')}, ' ', "
+            f"{oracle_expand_case('predicate')}, ' ', "
+            f"{oracle_expand_case('object')})) AS h FROM ht) "
+            "SELECT DISTINCT subject, predicate, object FROM hashed "
+            "WHERE starts_with(h, '0')"
+        ),
+        "reference_index_backward": (
+            "SELECT object AS reference, "
+            "string_agg(DISTINCT subject, '|' ORDER BY subject) AS subjects "
+            f"FROM ({_TRIPLES_SQL}) GROUP BY object"
+        ),
+        "salted_prefix_count": (
+            "SELECT split_part(curie, ':', 1) AS prefix, "
+            "count(DISTINCT substr(curie, strpos(curie, ':') + 1)) AS n_distinct "
+            f"FROM ({_CURIES_SQL}) GROUP BY split_part(curie, ':', 1)"
+        ),
+        "media_metadata": MEDIA_SQL,
+        "frame_sample": (
+            "SELECT media_id, unnest(generate_series(0, duration_ms, 1000)) "
+            f"AS frame_ts FROM ({MEDIA_SQL}) WHERE kind = 'video'"
+        ),
     }
 
 
@@ -633,6 +874,9 @@ def _training_oracles() -> dict[str, str]:
             "string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids "
             "FROM docs GROUP BY sha256(text) HAVING count(*) > 1"
         ),
+        "exact_dedup_keepmin": dt.oracle_exact_dedup_sql(),
+        "quality_gate": dt.oracle_quality_gate_sql(),
+        "near_dup_embeddings": dt.oracle_near_dup_embeddings_sql(),
         "minhash_signature": dt.oracle_minhash_sql(),
         "minhash_pairs": dt.oracle_minhash_pairs_sql(),
         "jaccard_pairs": dt.oracle_jaccard_pairs_sql(),

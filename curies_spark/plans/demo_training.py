@@ -15,8 +15,12 @@ from ..operators.similarity import hyperplanes
 from ..operators.text import BPE_TOKEN_RE, LANG_MARKERS, PUNCT_CLASS
 
 __all__ = [
+    "MEDIA_SQL",
     "NEAR_DUP_DOCS_SQL",
     "TRUNC_DOCS_SQL",
+    "oracle_exact_dedup_sql",
+    "oracle_near_dup_embeddings_sql",
+    "oracle_quality_gate_sql",
     "oracle_minhash_sql",
     "oracle_minhash_pairs_sql",
     "oracle_jaccard_pairs_sql",
@@ -25,6 +29,20 @@ __all__ = [
     "oracle_ann_topk_sql",
     "oracle_ann_lsh_topk_sql",
 ]
+
+#: multimodal rows derived from documents — typed metadata; the binary
+#: payload is added Spark-side only (metadata queries never touch it)
+MEDIA_SQL = (
+    "SELECT doc_id AS media_id, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS kind, "
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' "
+    "ELSE 'video/mp4' END AS mime, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 17) * 32 END AS INT) AS width, "
+    "CAST(CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 11) * 32 END AS INT) AS height, "
+    "CAST(CASE WHEN doc_id % 3 <> 0 THEN 500 + (doc_id % 7) * 800 END AS BIGINT) AS duration_ms "
+    "FROM documents"
+)
 
 SHINGLE_K = 3
 
@@ -189,6 +207,32 @@ def oracle_ann_topk_sql(*, k: int = 10) -> str:
     )
 
 
+def oracle_exact_dedup_sql(docs_sql: str = TRUNC_DOCS_SQL) -> str:
+    """Min-id survivor per exact content hash, mirroring
+    :func:`curies_spark.operators.dedup.exact_dedup`."""
+    return (
+        f"WITH docs AS ({docs_sql}) "
+        "SELECT min(doc_id) AS doc_id FROM docs GROUP BY sha256(text)"
+    )
+
+
+def oracle_quality_gate_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    *,
+    min_tokens: int = 5,
+    max_mean_token_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+) -> str:
+    """Doc ids surviving the Gopher-style rule gate, mirroring
+    :func:`curies_spark.operators.text.quality_score_col`."""
+    return (
+        f"SELECT doc_id FROM ({oracle_lang_quality_sql(docs_sql)}) "
+        f"WHERE q_tokens >= {min_tokens} "
+        f"AND q_mean_token_len <= {max_mean_token_len} "
+        f"AND q_punct_ratio <= {max_punct_ratio}"
+    )
+
+
 def _plane_literal(plane: "list[float]") -> str:
     return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
 
@@ -227,4 +271,33 @@ def oracle_ann_lsh_topk_sql(*, k: int = 10, n_planes: int = 6, seed: int = 7) ->
         "SELECT vec_id, round(cosine, 9) AS cosine, "
         "CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank "
         f"FROM scored ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
+def oracle_near_dup_embeddings_sql(
+    *, threshold: float = 0.15, n_planes: int = 8, seed: int = 7
+) -> str:
+    """Embedding near-duplicate pairs: full-signature LSH bucket join +
+    exact cosine verify, mirroring
+    :func:`curies_spark.operators.similarity.embedding_near_dup_pairs`."""
+    planes = hyperplanes(64, n_planes, seed=seed)
+    dot_ab = (
+        "list_sum(list_transform(generate_series(1, 64), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+
+    def norm(side: str) -> str:
+        return (
+            "sqrt(list_sum(list_transform(generate_series(1, 64), "
+            f"i -> CAST({side}.embedding[i] AS DOUBLE) * CAST({side}.embedding[i] AS DOUBLE))))"
+        )
+
+    return (
+        f"WITH se AS (SELECT vec_id, embedding, {_sig_sql('e', planes)} AS sig "
+        "FROM embeddings e), "
+        "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"{dot_ab} / ({norm('a')} * {norm('b')}) AS cosine "
+        "FROM se a JOIN se b ON a.sig = b.sig AND a.vec_id < b.vec_id) "
+        "SELECT id_a, id_b, round(cosine, 9) AS cosine FROM pairs "
+        f"WHERE cosine >= {threshold}"
     )
