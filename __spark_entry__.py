@@ -336,29 +336,31 @@ def _cosine_vs_query(e: "F.Column", q: "F.Column") -> "F.Column":
     )
 
 
-def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k by cosine: sort+limit compiles to TakeOrderedAndProject
+    (per-partition heaps, no global shuffle/sort — THE scalable top-k),
+    then the rank window runs on k rows only."""
     from pyspark.sql import Window
 
+    top = scored.orderBy(F.desc("_c"), "vec_id").limit(k)
+    w = Window.orderBy(F.desc("_c"), F.col("vec_id"))
+    return top.select(
+        "vec_id",
+        F.round("_c", 9).alias("cosine"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     scored = emb.crossJoin(F.broadcast(q)).select(
         "vec_id", _cosine_vs_query(F.col("embedding"), F.col("qe")).alias("_c")
     )
-    w = Window.orderBy(F.desc("_c"), F.col("vec_id"))
-    return (
-        scored.select(
-            "vec_id",
-            F.round("_c", 9).alias("cosine"),
-            F.row_number().over(w).alias("rank"),
-        )
-        .orderBy(F.desc("_c"), "vec_id")
-        .limit(10)
-    )
+    return _rank_topk(scored, 10)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from curies_spark.operators.similarity import hyperplanes, lsh_signature_col
 
     planes = hyperplanes(64, 6, seed=7)
@@ -376,16 +378,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "vec_id", _cosine_vs_query(F.col("embedding"), F.col("qe")).alias("_c")
     )
-    w = Window.orderBy(F.desc("_c"), F.col("vec_id"))
-    return (
-        scored.select(
-            "vec_id",
-            F.round("_c", 9).alias("cosine"),
-            F.row_number().over(w).alias("rank"),
-        )
-        .orderBy(F.desc("_c"), "vec_id")
-        .limit(10)
-    )
+    return _rank_topk(scored, 10)
 
 
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:

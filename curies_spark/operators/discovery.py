@@ -71,7 +71,12 @@ def discover_records_df(
     sort of URI prefixes.
     """
     c = F.col(column)
-    uris = df.select(c.alias("uri")).where(c.isNotNull()).distinct()
+    # No uris.distinct(): the reference dedups the URI set first
+    # (discovery.py:170), but the only downstream consumer is
+    # countDistinct(luid) per candidate prefix, which is insensitive to
+    # duplicate URIs — dropping the distinct removes a full shuffle of
+    # the URI stream.
+    uris = df.select(c.alias("uri")).where(c.isNotNull())
     # the GitHub-issues special case, reference discovery.py:252-255
     uris = uris.filter(
         ~(F.col("uri").startswith("https://github.com") & F.col("uri").contains("issues"))
@@ -83,12 +88,22 @@ def discover_records_df(
 
     candidate = uri_prefix_candidate_col("uri", delimiters=delimiters)
     luid = F.expr("substring(uri, length(_uri_prefix) + 1)")
+    # Null candidates are NOT filtered before the aggregation: a filter on
+    # the computed column re-evaluates the whole regex when-chain in a
+    # separate Filter operator (measured ~4x the projection cost at
+    # sf0.1); instead the NULL group rides through the aggregation (one
+    # extra group) and is dropped at driver scale. The distinct count is
+    # two-stage — groupBy(prefix, luid) then groupBy(prefix) — which is
+    # also the skew-robust form: a hot URI prefix is spread across
+    # reducers by the luid in the first-stage key.
     grouped = (
         uris.select(candidate.alias("_uri_prefix"), F.col("uri"))
-        .where(F.col("_uri_prefix").isNotNull())
         .select("_uri_prefix", luid.alias("_luid"))
+        .groupBy("_uri_prefix", "_luid")
+        .agg(F.lit(1))
         .groupBy("_uri_prefix")
-        .agg(F.countDistinct("_luid").alias("n_luids"))
+        .agg(F.count(F.lit(1)).alias("n_luids"))
+        .where(F.col("_uri_prefix").isNotNull())
     )
     if cutoff is not None:
         grouped = grouped.filter(F.col("n_luids") >= cutoff)
