@@ -407,6 +407,22 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REF_SET = ["p1:5", "p1:6", "p2:7", "p1:21"]
 
 
+def q_preprocess_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused preprocessing pipeline (preclean → rewrites → blocklist →
+    parse → postprocess), the reference PreprocessingConverter.parse as
+    one native column (reference preprocessing.py:199-263)."""
+    rules = demo.demo_preprocessing_rules()
+    values = _t(spark, sf_dir, "lineitem").selectExpr(
+        f"{demo.PREPROC_VALUE_EXPR} AS value"
+    )
+    parsed = kernels.parse_preprocessed_df(values, "value", _CONVERTER, rules)
+    return parsed.select(
+        "value",
+        F.col("parsed.prefix").alias("prefix"),
+        F.col("parsed.identifier").alias("identifier"),
+    )
+
+
 def q_expand_or_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = _sc(spark)
     mixed = _uris(spark, sf_dir).withColumnRenamed("uri", "value").unionByName(
@@ -581,6 +597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "mentions": q_mentions,
+    "preprocess_parse": q_preprocess_parse,
     "expand_or_standardize": q_expand_or_standardize,
     "filter_by_prefixes": q_filter_by_prefixes,
     "filter_by_curies": q_filter_by_curies,
@@ -784,6 +801,9 @@ def _filter_oracles() -> dict[str, str]:
         f"{demo.HASH_OBJECT_EXPR} AS object FROM orders"
     )
     return {
+        "preprocess_parse": demo.oracle_preprocess_parse_sql(
+            f"SELECT {demo.PREPROC_VALUE_EXPR} AS value FROM lineitem"
+        ),
         "expand_or_standardize": (
             f"SELECT value, coalesce({oracle_expand_case('value')}, "
             f"{oracle_standardize_uri_case('value')}) AS uri FROM ({_MIXED_SQL})"

@@ -26,7 +26,7 @@ from .preprocessing import (
     PreprocessingRules,
 )
 from .reconciliation import remap_curie_prefixes, remap_uri_prefixes, rewire
-from .record import Record, Reference, ReferenceTuple
+from .record import NamedReference, Record, Reference, ReferenceTuple
 from .trie import PrefixTrie
 from .w3c import is_w3c_curie, is_w3c_prefix
 
@@ -41,6 +41,7 @@ __all__ = [
     "DuplicateValueError",
     "ExpansionError",
     "IdentifierStandardizationError",
+    "NamedReference",
     "NoCURIEDelimiterError",
     "PrefixStandardizationError",
     "PrefixTrie",

@@ -71,6 +71,19 @@ class Reference:
         return cls(reference.prefix, reference.identifier)
 
 
+@dataclass(frozen=True, order=True)
+class NamedReference(Reference):
+    """A reference with a required human-readable label
+    (reference api.py:601-653 ``NamedReference``)."""
+
+    name: str = ""
+
+    @classmethod
+    def from_curie(cls, curie: str, name: str = "", *, sep: str = ":") -> "NamedReference":
+        prefix, _, identifier = curie.partition(sep)
+        return cls(prefix, identifier, name)
+
+
 @dataclass
 class Record:
     """One extended-prefix-map entry (reference api.py:659-727).

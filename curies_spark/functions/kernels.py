@@ -41,6 +41,10 @@ __all__ = [
     "assert_no_nulls",
     "StrictConversionError",
     "compress_col",
+    "compress_or_standardize_preprocessed_col",
+    "parse_preprocessed_col",
+    "parse_preprocessed_df",
+    "preprocess_value_col",
     "curie_identifier_col",
     "curie_prefix_col",
     "expand_all_col",
@@ -407,6 +411,236 @@ def expand_or_standardize_col(
     c = _col(s)
     result = F.coalesce(standardize_uri_col(c, converter), expand_col(c, converter))
     return F.coalesce(result, c) if passthrough else result
+
+
+# ---------------------------------------------------------------------------
+# preprocessing pipeline (reference preprocessing.py:265-417)
+# ---------------------------------------------------------------------------
+
+
+def _map_literal(mapping: "dict[str, str]") -> "Column | None":
+    if not mapping:
+        return None
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    return F.create_map(*pairs)
+
+
+def _remap_full_expr(rules, c: Column, context: "str | None") -> Column:
+    """Exact-string → CURIE rewrite; per-context rules win
+    (reference preprocessing.py:91-99)."""
+    ctx_map = _map_literal(rules.rewrites.resource_full.get(context, {}) if context else {})
+    global_map = _map_literal(rules.rewrites.full)
+    exprs = [F.element_at(m, c) for m in (ctx_map, global_map) if m is not None]
+    if not exprs:
+        return F.lit(None).cast(StringType())
+    return F.coalesce(*exprs) if len(exprs) > 1 else exprs[0]
+
+
+def _remap_prefix_expr(rules, c: Column, context: "str | None") -> Column:
+    """First matching old-prefix replaces the head; context rules are
+    consulted before global ones (reference preprocessing.py:101-110).
+    Built as a when-chain in *reverse* rule order so the first rule ends
+    up outermost (first match wins, like the reference's loop)."""
+    expr: Column = c
+    pairs: list[tuple[str, str]] = list(rules.rewrites.prefix.items())
+    if context:
+        pairs = list(rules.rewrites.resource_prefix.get(context, {}).items()) + pairs
+    for old, new in reversed(pairs):
+        expr = F.when(
+            c.startswith(old), F.concat(F.lit(new), F.substr(c, F.lit(len(old) + 1)))
+        ).otherwise(expr)
+    return expr
+
+
+def _blocked_expr(rules, c: Column, context: "str | None") -> Column:
+    """Full/prefix/suffix blocklist membership (reference preprocessing.py:51-71)."""
+    b = rules.blocklists
+    cond = F.lit(False)
+    full = list(b.full) + (list(b.resource_full.get(context, [])) if context else [])
+    if full:
+        cond = cond | c.isin(full)
+    prefixes = list(b.prefix) + (
+        list(b.resource_prefix.get(context, [])) if context else []
+    )
+    for p in prefixes:
+        cond = cond | c.startswith(p)
+    for s in b.suffix:
+        cond = cond | c.endswith(s)
+    return cond
+
+
+PREPROCESSED_SCHEMA = "struct<value:string,full_curie:string,blocked:boolean>"
+
+
+def preprocess_value_col(
+    value: "Column | str",
+    rules,
+    *,
+    context: "str | None" = None,
+    preclean=None,
+) -> Column:
+    """The shared preamble of the preprocessing pipeline as ONE native
+    struct column: preclean → full remap (short-circuits) → prefix remap
+    → blocklist flag (reference ``_pre_process``, preprocessing.py:199-211).
+
+    Returns ``struct(value, full_curie, blocked)``: ``full_curie`` set iff
+    an exact rewrite hit (wins over everything), else ``value`` is the
+    prefix-remapped string and ``blocked`` its blocklist verdict.
+    """
+    c = _col(value)
+    if preclean is not None:
+        c = preclean(c)
+    full = _remap_full_expr(rules, c, context)
+    remapped = _remap_prefix_expr(rules, c, context)
+    return F.struct(
+        F.when(full.isNull(), remapped).alias("value"),
+        full.alias("full_curie"),
+        F.when(full.isNotNull(), F.lit(False))
+        .otherwise(_blocked_expr(rules, remapped, context))
+        .alias("blocked"),
+    )
+
+
+def _postprocess_identifier_expr(rules, prefix: Column, identifier: Column) -> Column:
+    """Per-prefix identifier suffix strip, first matching suffix wins
+    (reference ``_post_process``, preprocessing.py:189-197)."""
+    flat: list[tuple[str, str]] = [
+        (p, s) for p, suffixes in rules.postprocessing.suffix.items() for s in suffixes
+    ]
+    expr = identifier
+    for p, s in reversed(flat):
+        expr = F.when(
+            (prefix == p) & identifier.endswith(s),
+            F.substring(identifier, 1, F.length(identifier) - len(s)),
+        ).otherwise(expr)
+    return expr
+
+
+def parse_preprocessed_col(
+    value: "Column | str",
+    converter,
+    rules,
+    *,
+    context: "str | None" = None,
+    preclean=None,
+) -> Column:
+    """Columnar twin of ``PreprocessingConverter.parse``
+    (reference preprocessing.py:213-227): preclean → remap_full →
+    remap_prefix → blocklist → URI-else-CURIE parse → per-prefix suffix
+    strip. Fully JVM-native for native-sized converters; ``blocked`` and
+    unparsable inputs yield NULL (``block_action="pass"`` semantics —
+    audit with :func:`assert_no_nulls` for fail-fast).
+    """
+    pre = preprocess_value_col(value, rules, context=context, preclean=preclean)
+    s = pre.getField("value")
+    parsed = F.coalesce(parse_uri_col(s, converter), parse_curie_col(s, converter))
+    post_identifier = _postprocess_identifier_expr(
+        rules, parsed.getField("prefix"), parsed.getField("identifier")
+    )
+    full = pre.getField("full_curie")
+    full_pos = F.locate(":", full)
+    return (
+        # exact rewrites return the CURIE split on the first delimiter,
+        # bypassing standardization AND postprocessing (preprocessing.py:221-223)
+        F.when(
+            full.isNotNull(),
+            F.struct(
+                F.substring_index(full, ":", 1).alias("prefix"),
+                # str.partition semantics: no delimiter → empty identifier
+                F.when(full_pos > 0, F.substr(full, full_pos + F.lit(1)))
+                .otherwise(F.lit(""))
+                .alias("identifier"),
+            ),
+        )
+        .when(pre.getField("blocked"), F.lit(None).cast(PARSE_SCHEMA))
+        .otherwise(
+            F.when(
+                parsed.isNotNull(),
+                F.struct(
+                    parsed.getField("prefix").alias("prefix"),
+                    post_identifier.alias("identifier"),
+                ),
+            )
+        )
+    )
+
+
+def parse_preprocessed_df(
+    df: DataFrame,
+    column: str,
+    converter,
+    rules,
+    *,
+    context: "str | None" = None,
+    preclean=None,
+    target: str = "parsed",
+) -> DataFrame:
+    """DataFrame form of :func:`parse_preprocessed_col` — USE THIS on real
+    data. The single-Column form inlines the preamble into every field
+    access (SimplifyExtractValueOps), exploding the expression tree
+    combinatorially until whole-stage codegen overflows Janino's 64KB
+    method limit and falls back to interpreted eval. Staging the pipeline
+    through intermediate columns keeps each projection small:
+    CollapseProject will not merge them because the struct columns are
+    non-cheap and referenced more than once.
+    """
+    pre = preprocess_value_col(column, rules, context=context, preclean=preclean)
+    out = df.withColumn("_pre", pre)
+    s = F.col("_pre.value")
+    out = out.withColumn(
+        "_parsed", F.coalesce(parse_uri_col(s, converter), parse_curie_col(s, converter))
+    )
+    post_identifier = _postprocess_identifier_expr(
+        rules, F.col("_parsed.prefix"), F.col("_parsed.identifier")
+    )
+    full = F.col("_pre.full_curie")
+    full_pos = F.locate(":", full)
+    final = (
+        F.when(
+            full.isNotNull(),
+            F.struct(
+                F.substring_index(full, ":", 1).alias("prefix"),
+                F.when(full_pos > 0, F.substr(full, full_pos + F.lit(1)))
+                .otherwise(F.lit(""))
+                .alias("identifier"),
+            ),
+        )
+        .when(F.col("_pre.blocked"), F.lit(None).cast(PARSE_SCHEMA))
+        .otherwise(
+            F.when(
+                F.col("_parsed").isNotNull(),
+                F.struct(
+                    F.col("_parsed.prefix").alias("prefix"),
+                    post_identifier.alias("identifier"),
+                ),
+            )
+        )
+    )
+    return out.withColumn(target, final).drop("_pre", "_parsed")
+
+
+def compress_or_standardize_preprocessed_col(
+    value: "Column | str",
+    converter,
+    rules,
+    *,
+    context: "str | None" = None,
+    preclean=None,
+    passthrough: bool = False,
+) -> Column:
+    """Preprocessed parse rendered back to a CURIE string — the entity
+    linker's hot path when a rule set is configured."""
+    parsed = parse_preprocessed_col(
+        value, converter, rules, context=context, preclean=preclean
+    )
+    curie = F.when(
+        parsed.isNotNull(),
+        format_curie_col(parsed.getField("prefix"), parsed.getField("identifier")),
+    )
+    return F.coalesce(curie, _col(value)) if passthrough else curie
 
 
 # ---------------------------------------------------------------------------

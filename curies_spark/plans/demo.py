@@ -129,6 +129,70 @@ CONTENT_EXPR = (
 )
 
 
+#: Values exercising every preprocessing branch: exact rewrite, prefix
+#: rewrite, full/prefix blocklists, postprocess suffix strip, plain
+#: CURIE/URI, and unparsable noise.
+PREPROC_VALUE_EXPR = (
+    "CASE (l_orderkey * 3 + l_linenumber) % 8 "
+    "WHEN 0 THEN 'is_a' "
+    "WHEN 1 THEN concat('OBO:GO_', CAST(l_partkey AS BIGINT)) "
+    "WHEN 2 THEN 'blockme' "
+    "WHEN 3 THEN concat('bad:', CAST(l_partkey AS BIGINT)) "
+    "WHEN 4 THEN concat('GO:', CAST(l_partkey AS BIGINT), '_obsolete') "
+    "WHEN 5 THEN concat('chebi:', CAST(l_partkey AS BIGINT)) "
+    f"WHEN 6 THEN concat('{CHEBI}', CAST(l_partkey AS BIGINT)) "
+    "ELSE concat('noise_', CAST(l_partkey AS BIGINT)) END"
+)
+
+
+def demo_preprocessing_rules():
+    """Rules matching PREPROC_VALUE_EXPR's branches."""
+    from ..core.preprocessing import (
+        PostprocessingRewrites,
+        PreprocessingBlocklists,
+        PreprocessingRewrites,
+        PreprocessingRules,
+    )
+
+    return PreprocessingRules(
+        rewrites=PreprocessingRewrites(
+            full={"is_a": "skos:exactMatch"},
+            prefix={"OBO:GO_": "GO:"},
+        ),
+        blocklists=PreprocessingBlocklists(full=["blockme"], prefix=["bad:"]),
+        postprocessing=PostprocessingRewrites(suffix={"GO": ["_obsolete"]}),
+    )
+
+
+def oracle_preprocess_parse_sql(values_sql: str) -> str:
+    """DuckDB replication of the preprocessing pipeline over the demo
+    rules: full rewrite → prefix rewrite → blocklist → URI-else-CURIE
+    parse → postprocess suffix strip."""
+    compress = oracle_compress_case("remapped")
+    standardize = oracle_standardize_curie_case("remapped")
+    return (
+        f"WITH v AS ({values_sql}), "
+        "pre AS (SELECT value, "
+        "CASE WHEN value = 'is_a' THEN 'skos:exactMatch' END AS full_curie, "
+        "CASE WHEN starts_with(value, 'OBO:GO_') THEN concat('GO:', substr(value, 8)) "
+        "ELSE value END AS remapped FROM v), "
+        "flagged AS (SELECT *, (remapped = 'blockme' OR starts_with(remapped, 'bad:')) AS blocked FROM pre), "
+        f"parsed AS (SELECT *, coalesce({compress}, {standardize}) AS curie0 FROM flagged), "
+        "split AS (SELECT value, full_curie, blocked, "
+        "CASE WHEN curie0 IS NOT NULL THEN split_part(curie0, ':', 1) END AS p0, "
+        "CASE WHEN curie0 IS NOT NULL THEN substr(curie0, strpos(curie0, ':') + 1) END AS i0 "
+        "FROM parsed) "
+        "SELECT value, "
+        "CASE WHEN full_curie IS NOT NULL THEN split_part(full_curie, ':', 1) "
+        "WHEN blocked THEN NULL ELSE p0 END AS prefix, "
+        "CASE WHEN full_curie IS NOT NULL THEN substr(full_curie, strpos(full_curie, ':') + 1) "
+        "WHEN blocked THEN NULL "
+        "WHEN p0 = 'GO' AND ends_with(i0, '_obsolete') THEN substr(i0, 1, length(i0) - 9) "
+        "ELSE i0 END AS identifier "
+        "FROM split"
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle-side SQL generators (DuckDB dialect)
 # ---------------------------------------------------------------------------

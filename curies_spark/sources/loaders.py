@@ -20,6 +20,7 @@ from ..core.converter import Converter
 from ..core.record import Record
 
 __all__ = [
+    "file_convert_column",
     "load_extended_prefix_map",
     "load_jsonld_context",
     "load_prefix_map",
@@ -198,3 +199,34 @@ def write_triples_parquet(
         out = df.withColumn("subject_prefix", curie_prefix("subject"))
         partition_by = ["subject_prefix"]
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def file_convert_column(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    column: str,
+    converter,
+    *,
+    operation: str = "compress",
+    sep: str = ",",
+    header: bool = True,
+    passthrough: bool = False,
+) -> None:
+    """Convert one column of a delimited file and write the result — the
+    distributed twin of the reference's in-place CSV rewrite helpers
+    (``Converter.file_compress``/``file_expand`` via ``_file_helper``,
+    api.py:2585-2666). ``operation`` ∈ {compress, expand,
+    standardize_curie, standardize_uri}."""
+    from ..functions import kernels
+
+    ops = {
+        "compress": kernels.compress_col,
+        "expand": kernels.expand_col,
+        "standardize_curie": kernels.standardize_curie_col,
+        "standardize_uri": kernels.standardize_uri_col,
+    }
+    kernel = ops[operation]
+    df = spark.read.option("sep", sep).option("header", header).csv(path)
+    out = df.withColumn(column, kernel(column, converter, passthrough=passthrough))
+    out.write.mode("overwrite").option("sep", sep).option("header", header).csv(out_path)

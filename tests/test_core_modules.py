@@ -323,3 +323,21 @@ def test_discover_with_existing_converter() -> None:
     ]
     converter = discover(uris, converter=known)
     assert {r.uri_prefix for r in converter.records} == {"http://new.org/"}
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary constants (reference vocabulary.py:15-384)
+# ---------------------------------------------------------------------------
+
+
+def test_vocabulary_constants() -> None:
+    from curies_spark.core import vocabulary as v
+
+    assert v.exact_match.curie == "skos:exactMatch"
+    assert v.owl_same_as.curie == "owl:sameAs"
+    assert v.rdf_type.prefix == "rdf" and v.rdf_type.name == "type"
+    assert v.exact_match in v.mapping_predicates
+    assert len(v.matching_processes) == 6
+    # NamedReference is hashable + ordered like Reference
+    assert len({v.exact_match, v.close_match, v.exact_match}) == 2
+    assert sorted([v.close_match, v.broad_match])[0].identifier == "broadMatch"

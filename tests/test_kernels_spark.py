@@ -244,3 +244,28 @@ def test_compress_native_plan_is_native(spark, sconv):
     df = spark.createDataFrame([Row(v=f"{CHEBI}1")])
     plan = df.select(sconv.compress("v").alias("c"))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_file_convert_column(spark, tmp_path):
+    """Distributed CSV column rewrite (reference _file_helper, api.py:2645-2666)."""
+    from curies_spark.plans.demo import demo_converter
+    from curies_spark.sources.loaders import file_convert_column
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    spark.createDataFrame(
+        [("a", "CHEBI:1"), ("b", "chebi:2"), ("c", "nope")], ["k", "curie"]
+    ).coalesce(1).write.option("header", True).csv(str(src))
+    file_convert_column(
+        spark, str(src), str(out), "curie", demo_converter(),
+        operation="expand", passthrough=True,
+    )
+    got = {
+        r["k"]: r["curie"]
+        for r in spark.read.option("header", True).csv(str(out)).collect()
+    }
+    assert got == {
+        "a": "http://purl.obolibrary.org/obo/CHEBI_1",
+        "b": "http://purl.obolibrary.org/obo/CHEBI_2",
+        "c": "nope",
+    }

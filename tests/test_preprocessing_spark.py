@@ -1,0 +1,151 @@
+"""Columnar preprocessing pipeline vs the driver-side PreprocessingConverter.
+
+The Spark pipeline (kernels.parse_preprocessed_col) must reproduce the
+reference semantics (preprocessing.py:199-263) value-for-value; the
+driver-side core implementation is itself ported from the reference and
+checked by tests/test_core_modules.py, so this differential closes the
+loop without per-row Python in the plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curies_spark.core.converter import Converter
+from curies_spark.core.preprocessing import (
+    PostprocessingRewrites,
+    PreprocessingBlocklists,
+    PreprocessingConverter,
+    PreprocessingRewrites,
+    PreprocessingRules,
+)
+from curies_spark.functions import kernels
+
+
+@pytest.fixture(scope="module")
+def rules() -> PreprocessingRules:
+    return PreprocessingRules(
+        rewrites=PreprocessingRewrites(
+            full={
+                "is_a": "rdf:type",
+                "http://creativecommons.org/licenses/by/3.0/": "spdx:CC-BY-3.0",
+            },
+            prefix={"OMIM:PS": "omim.ps:", "omim:PS": "omim.ps:"},
+            resource_prefix={"clo": {"j": "NCIT:"}},
+            resource_full={"clo": {"nopeforever": "NCIT:5678"}},
+        ),
+        blocklists=PreprocessingBlocklists(
+            full=["rdf:NOPE"],
+            prefix=["axiom"],
+            suffix=[":evidence"],
+            resource_prefix={"chebi": ["pubmed:"]},
+            resource_full={"chebi": ["omim:1356"]},
+        ),
+        postprocessing=PostprocessingRewrites(suffix={"emedicine": ["-overview"]}),
+    )
+
+
+@pytest.fixture(scope="module")
+def inner() -> Converter:
+    return Converter.from_prefix_map(
+        {
+            "GO": "http://purl.obolibrary.org/obo/GO_",
+            "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+            "spdx": "https://spdx.org/licenses/",
+            "omim.ps": "https://omim.org/phenotypicSeries/",
+            "NCIT": "http://purl.obolibrary.org/obo/NCIT_",
+            "pubmed": "https://pubmed.ncbi.nlm.nih.gov/",
+            "omim": "https://omim.org/entry/",
+            "emedicine": "https://emedicine.medscape.com/article/",
+        }
+    )
+
+
+VALUES = [
+    "is_a",                                               # global full rewrite
+    "http://creativecommons.org/licenses/by/3.0/",        # full rewrite of a URI
+    "nopeforever",                                        # context full rewrite (clo only)
+    "OMIM:PS214100",                                      # global prefix rewrite
+    "omim:PS300200",                                      # second prefix rewrite rule
+    "j1234",                                              # context prefix rewrite (clo only)
+    "rdf:NOPE",                                           # blocked full
+    "axiom123",                                           # blocked prefix
+    "GO:123:evidence",                                    # blocked suffix
+    "omim:1356",                                          # blocked full in chebi context only
+    "pubmed:999",                                         # blocked prefix in chebi context only
+    "emedicine:1000-overview",                            # postprocess suffix strip
+    "emedicine:1000",                                     # no strip needed
+    "GO:0032571",                                         # plain CURIE
+    "http://purl.obolibrary.org/obo/GO_0032571",          # plain URI
+    "unknown:thing",                                      # unparsable
+    "justtext",                                           # unparsable, no delimiter
+]
+
+CONTEXTS = [None, "clo", "chebi"]
+
+
+def _expected(conv: PreprocessingConverter, context):
+    out = {}
+    for v in VALUES:
+        rt = conv.parse(v, context=context, block_action="pass")
+        out[v] = (rt.prefix, rt.identifier) if rt is not None else None
+    return out
+
+
+@pytest.mark.parametrize("context", CONTEXTS)
+def test_parse_preprocessed_matches_driver(spark, rules, inner, context):
+    conv = PreprocessingConverter.from_converter(inner, rules)
+    expected = _expected(conv, context)
+
+    df = spark.createDataFrame([(v,) for v in VALUES], ["value"])
+    parsed = kernels.parse_preprocessed_col("value", inner, rules, context=context)
+    got = {
+        r["value"]: (
+            (r["p"]["prefix"], r["p"]["identifier"]) if r["p"] is not None else None
+        )
+        for r in df.select("value", parsed.alias("p")).collect()
+    }
+    assert got == expected
+
+
+def test_preprocessed_pipeline_is_pure_jvm(spark, rules, inner):
+    df = spark.createDataFrame([(v,) for v in VALUES], ["value"])
+    out = df.select(
+        kernels.compress_or_standardize_preprocessed_col(
+            "value", inner, rules
+        ).alias("curie")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_preclean_hook(spark, rules, inner):
+    df = spark.createDataFrame([("  GO:1  ",)], ["value"])
+    parsed = kernels.parse_preprocessed_col(
+        "value", inner, rules, preclean=lambda c: F.trim(c)
+    )
+    [row] = df.select(parsed.alias("p")).collect()
+    assert (row["p"]["prefix"], row["p"]["identifier"]) == ("GO", "1")
+
+
+@pytest.mark.parametrize("context", CONTEXTS)
+def test_parse_preprocessed_df_matches_driver(spark, rules, inner, context):
+    """DataFrame form: same values, compact plan (no codegen overflow)."""
+    conv = PreprocessingConverter.from_converter(inner, rules)
+    expected = _expected(conv, context)
+
+    df = spark.createDataFrame([(v,) for v in VALUES], ["value"])
+    out = kernels.parse_preprocessed_df(df, "value", inner, rules, context=context)
+    got = {
+        r["value"]: (
+            (r["parsed"]["prefix"], r["parsed"]["identifier"])
+            if r["parsed"] is not None
+            else None
+        )
+        for r in out.collect()
+    }
+    assert got == expected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "grows beyond" not in plan
+    assert len(plan) < 64_000
