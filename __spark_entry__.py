@@ -32,13 +32,15 @@ from curies_spark.plans.demo import (
 )
 
 _CONVERTER = demo_converter()
-_SPARK_CONVERTERS: dict[int, SparkConverter] = {}
+_LARGE_CONVERTER = demo.large_converter()
+_SPARK_CONVERTERS: dict[tuple[int, str], SparkConverter] = {}
 
 
-def _sc(spark: SparkSession) -> SparkConverter:
-    key = id(spark)
+def _sc(spark: SparkSession, which: str = "demo") -> SparkConverter:
+    key = (id(spark), which)
     if key not in _SPARK_CONVERTERS:
-        _SPARK_CONVERTERS[key] = SparkConverter(spark, _CONVERTER)
+        conv = _CONVERTER if which == "demo" else _LARGE_CONVERTER
+        _SPARK_CONVERTERS[key] = SparkConverter(spark, conv)
     return _SPARK_CONVERTERS[key]
 
 
@@ -407,6 +409,16 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REF_SET = ["p1:5", "p1:6", "p2:7", "p1:21"]
 
 
+def q_compress_trie_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression against the 200-record generated EPM — above
+    NATIVE_COMPRESS_THRESHOLD, so this exercises the broadcast-trie
+    Arrow-batched pandas UDF (the north star's hot path) with a full
+    value oracle."""
+    sc = _sc(spark, "large")
+    uris = _t(spark, sf_dir, "lineitem").selectExpr(f"{demo.URI_LARGE_EXPR} AS uri")
+    return uris.select("uri", sc.compress("uri").alias("curie"))
+
+
 def q_preprocess_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused preprocessing pipeline (preclean → rewrites → blocklist →
     parse → postprocess), the reference PreprocessingConverter.parse as
@@ -597,6 +609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "mentions": q_mentions,
+    "compress_trie_udf": q_compress_trie_udf,
     "preprocess_parse": q_preprocess_parse,
     "expand_or_standardize": q_expand_or_standardize,
     "filter_by_prefixes": q_filter_by_prefixes,
@@ -801,6 +814,11 @@ def _filter_oracles() -> dict[str, str]:
         f"{demo.HASH_OBJECT_EXPR} AS object FROM orders"
     )
     return {
+        "compress_trie_udf": (
+            "SELECT uri, "
+            + oracle_compress_case("uri", converter=_LARGE_CONVERTER)
+            + f" AS curie FROM (SELECT {demo.URI_LARGE_EXPR} AS uri FROM lineitem)"
+        ),
         "preprocess_parse": demo.oracle_preprocess_parse_sql(
             f"SELECT {demo.PREPROC_VALUE_EXPR} AS value FROM lineitem"
         ),

@@ -118,6 +118,28 @@ HASH_PREDICATE_EXPR = (
     "CASE o_orderkey % 2 WHEN 0 THEN 'skos:exactMatch' ELSE 'skos:closeMatch' END"
 )
 
+#: URIs against the LARGE generated EPM (sources.synthetic.generate_epm,
+#: 200 records → above NATIVE_COMPRESS_THRESHOLD → the broadcast-trie
+#: pandas-UDF compress path): parent namespaces, overlapping SUB_ child
+#: namespaces (longest-match), mirror synonyms, and unregistered noise.
+URI_LARGE_EXPR = (
+    "CASE (l_orderkey + l_linenumber) % 4 "
+    "WHEN 0 THEN concat('http://vocab', CAST((l_partkey % 20) * 10 AS BIGINT), "
+    "'.example.org/term/', CAST(l_orderkey AS BIGINT)) "
+    "WHEN 1 THEN concat('http://vocab', CAST((l_partkey % 20) * 10 AS BIGINT), "
+    "'.example.org/term/SUB_', CAST(l_orderkey AS BIGINT)) "
+    "WHEN 2 THEN concat('https://mirror.example.net/v', CAST((l_partkey % 67) * 3 AS BIGINT), "
+    "'/', CAST(l_orderkey AS BIGINT)) "
+    "ELSE concat('http://unregistered.example.com/', CAST(l_orderkey AS BIGINT)) END"
+)
+
+
+def large_converter() -> Converter:
+    from ..sources.synthetic import generate_epm
+
+    return Converter.from_extended_prefix_map(generate_epm(200))
+
+
 #: Synthetic mention-bearing text derived from documents — the same
 #: deterministic sentence on both sides, so regex mention scans agree.
 CONTENT_EXPR = (
@@ -202,11 +224,13 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def oracle_compress_case(uri_sql: str, *, passthrough: bool = False) -> str:
+def oracle_compress_case(
+    uri_sql: str, *, passthrough: bool = False, converter: "Converter | None" = None
+) -> str:
     """DuckDB CASE chain implementing longest-prefix-match compression for
-    the demo EPM — ordered longest URI prefix first, mirroring the trie
-    guarantee (reference api.py:1762-1769)."""
-    conv = demo_converter()
+    the given EPM (default: demo) — ordered longest URI prefix first,
+    mirroring the trie guarantee (reference api.py:1762-1769)."""
+    conv = converter if converter is not None else demo_converter()
     entries = sorted(
         conv.reverse_prefix_map.items(), key=lambda kv: len(kv[0]), reverse=True
     )

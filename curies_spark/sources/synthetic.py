@@ -130,3 +130,26 @@ def generate_repos(
         lang.alias("lang"),
         content.alias("content"),
     )
+
+
+def generate_epm(n_records: int, *, synonyms: bool = True) -> "list[dict]":
+    """Deterministic Bioregistry-scale extended prefix map: ``n_records``
+    records with realistic URI shapes, nested/overlapping URI prefixes
+    (every 10th record shares a parent namespace, exercising
+    longest-prefix matching) and prefix/URI synonyms on every 3rd record.
+    Above ``NATIVE_COMPRESS_THRESHOLD`` records the compress kernel takes
+    the broadcast-trie pandas-UDF path — the north star's hot path."""
+    records: list[dict] = []
+    for i in range(n_records):
+        prefix = f"ns{i}"
+        if i % 10 == 5:
+            # child namespace of the record 5 before it → overlapping
+            uri_prefix = f"http://vocab{i - 5}.example.org/term/SUB_"
+        else:
+            uri_prefix = f"http://vocab{i}.example.org/term/"
+        record: dict = {"prefix": prefix, "uri_prefix": uri_prefix}
+        if synonyms and i % 3 == 0:
+            record["prefix_synonyms"] = [f"NS{i}"]
+            record["uri_prefix_synonyms"] = [f"https://mirror.example.net/v{i}/"]
+        records.append(record)
+    return records
