@@ -184,16 +184,14 @@ def expand_col(
     else:
         get = _converter_value_getter(converter)
 
-        @F.pandas_udf(StringType())
-        def _expand(series: pd.Series) -> pd.Series:
-            cv = get()
+        @F.arrow_udf(StringType())
+        def _expand(arr):
+            import pyarrow.compute as pc
 
-            def one(s):
-                if s is None or ":" not in s:
-                    return None
-                return cv.expand(s)
-
-            return series.map(one)
+            uri_prefixes, identifiers = _bucketed_prefix_match(
+                arr, _expand_arrow_buckets(get())
+            )
+            return pc.binary_join_element_wise(uri_prefixes, identifiers, "")
 
         expanded = _expand(c)
     return F.coalesce(expanded, c) if passthrough else expanded
@@ -264,38 +262,57 @@ def _length_buckets(conv: Converter) -> "list[tuple[int, dict[str, str]]]":
     return cached
 
 
-def _arrow_buckets(conv: Converter) -> "list[tuple[int, object, object]]":
-    """Per-BYTE-length (slice_len, binary key_set, prefix value_array)
-    pyarrow lookup tables, cached on the converter — built once per
-    executor. Keys are UTF-8 bytes: byte-prefix match is exactly
+def _build_arrow_buckets(mapping: "dict[str, str]"):
+    """Per-BYTE-length (slice_len, binary key_set, value_array) pyarrow
+    lookup tables. Keys are UTF-8 bytes: byte-prefix match is exactly
     equivalent to codepoint startswith for UTF-8 (prefix property), and
     byte slicing is O(1) offset math where codepoint slicing scans."""
     import pyarrow as pa
 
+    buckets: dict[int, dict[bytes, str]] = {}
+    for k, v in mapping.items():
+        key = k.encode("utf-8")
+        buckets.setdefault(len(key), {})[key] = v
+    return [
+        (
+            length,
+            pa.array(list(bucket.keys()), type=pa.binary()),
+            pa.array(list(bucket.values())),
+        )
+        for length, bucket in sorted(buckets.items(), reverse=True)
+    ]
+
+
+def _arrow_buckets(conv: Converter):
+    """Compression tables (uri_prefix → canonical prefix), cached on the
+    converter — built once per executor."""
     cached = getattr(conv, "_arrow_buckets", None)
     if cached is None:
-        buckets: dict[int, dict[bytes, str]] = {}
-        for uri_prefix, prefix in conv.reverse_prefix_map.items():
-            key = uri_prefix.encode("utf-8")
-            buckets.setdefault(len(key), {})[key] = prefix
-        cached = [
-            (
-                length,
-                pa.array(list(bucket.keys()), type=pa.binary()),
-                pa.array(list(bucket.values())),
-            )
-            for length, bucket in sorted(buckets.items(), reverse=True)
-        ]
+        cached = _build_arrow_buckets(conv.reverse_prefix_map)
         conv._arrow_buckets = cached
     return cached
 
 
-def _vectorized_longest_match(arr, conv: Converter):
-    """(canonical prefix, identifier) Arrow arrays via length-bucketed
-    vectorized probes: one ``utf8_slice_codeunits`` + set-lookup per
-    DISTINCT URI-prefix length (typically a few dozen), instead of a
-    per-row Python trie walk — every probe is a C-speed kernel over the
-    whole Arrow batch. Longest length first ⇒ longest-match wins."""
+def _expand_arrow_buckets(conv: Converter):
+    """Expansion tables (``prefix:`` → canonical uri_prefix, synonyms
+    included). Prefixes contain no delimiter, so no key is a byte-prefix
+    of another — at most one bucket can hit, making bucket probing
+    equivalent to split-on-first-colon + exact map lookup."""
+    cached = getattr(conv, "_expand_arrow_buckets", None)
+    if cached is None:
+        cached = _build_arrow_buckets(
+            {f"{prefix}:": uri_prefix for prefix, uri_prefix in conv.prefix_map.items()}
+        )
+        conv._expand_arrow_buckets = cached
+    return cached
+
+
+def _bucketed_prefix_match(arr, buckets):
+    """(matched value, remainder) Arrow arrays via length-bucketed
+    vectorized probes: one byte-slice + set-lookup per DISTINCT key
+    length (typically a few dozen) — every probe a C-speed kernel over
+    the whole Arrow batch, no per-row Python. Longest length first ⇒
+    longest-match wins."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -303,22 +320,28 @@ def _vectorized_longest_match(arr, conv: Converter):
         arr = arr.combine_chunks()
     n = len(arr)
     raw = arr.cast(pa.binary())  # zero-copy view; byte slicing is offset math
-    prefixes = pa.nulls(n, pa.string())
-    identifiers = pa.nulls(n, pa.string())
+    matched_values = pa.nulls(n, pa.string())
+    remainders = pa.nulls(n, pa.string())
     matched = pc.is_null(arr)
     stop = 2**31 - 1
-    for length, keys, values in _arrow_buckets(conv):
+    for length, keys, values in buckets:
         if pc.all(matched).as_py():
             break
         sliced = pc.binary_slice(raw, 0, length)
         idx = pc.index_in(sliced, value_set=keys)
         hit = pc.and_not(pc.is_valid(idx), matched)
         if pc.any(hit).as_py():
-            prefixes = pc.if_else(hit, pc.take(values, idx), prefixes)
+            matched_values = pc.if_else(hit, pc.take(values, idx), matched_values)
             tail = pc.binary_slice(raw, length, stop).cast(pa.string())
-            identifiers = pc.if_else(hit, tail, identifiers)
+            remainders = pc.if_else(hit, tail, remainders)
             matched = pc.or_(matched, hit)
-    return prefixes, identifiers
+    return matched_values, remainders
+
+
+def _vectorized_longest_match(arr, conv: Converter):
+    """(canonical prefix, identifier) for URI compression — longest
+    URI-prefix match over the converter's reverse prefix map."""
+    return _bucketed_prefix_match(arr, _arrow_buckets(conv))
 
 
 def parse_uri_col(uri: "Column | str", converter) -> Column:
