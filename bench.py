@@ -28,14 +28,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "compress",
+    "compress_trie_udf",
     "expand",
     "compress_or_standardize",
+    "preprocess_parse",
     "standardize_uri",
     "expand_all",
     "triple_hash",
     "many_to_many",
     "dedup_exact",
     "discover",
+    "mentions",
 ]
 
 

@@ -88,14 +88,18 @@ def discover_records_df(
 
     candidate = uri_prefix_candidate_col("uri", delimiters=delimiters)
     luid = F.expr("substring(uri, length(_uri_prefix) + 1)")
-    # Null candidates are NOT filtered before the aggregation: a filter on
-    # the computed column re-evaluates the whole regex when-chain in a
-    # separate Filter operator (measured ~4x the projection cost at
-    # sf0.1); instead the NULL group rides through the aggregation (one
-    # extra group) and is dropped at driver scale. The distinct count is
-    # two-stage — groupBy(prefix, luid) then groupBy(prefix) — which is
-    # also the skew-robust form: a hot URI prefix is spread across
-    # reducers by the luid in the first-stage key.
+    # NO pre-aggregation filter on the computed candidate: Catalyst
+    # substitutes the aliased when-chain into any such predicate and
+    # re-evaluates the regex chain at the scan (measured +4-5s on 600k
+    # rows at sf0.1; rand()-based barriers don't survive Spark 4's
+    # domain-aware simplification). Instead the NULL-candidate group
+    # rides through both aggregates as one extra group and is dropped
+    # ABOVE the ns-numbering window, which is a pushdown barrier for
+    # non-partition columns — the filter then touches ~|prefixes| rows.
+    # The distinct count is two-stage — groupBy(prefix, luid) then
+    # groupBy(prefix) — which is also the skew-robust form: a hot URI
+    # prefix is spread across reducers by the luid in the first-stage
+    # key.
     grouped = (
         uris.select(candidate.alias("_uri_prefix"), F.col("uri"))
         .select("_uri_prefix", luid.alias("_luid"))
@@ -103,17 +107,22 @@ def discover_records_df(
         .agg(F.lit(1))
         .groupBy("_uri_prefix")
         .agg(F.count(F.lit(1)).alias("n_luids"))
-        .where(F.col("_uri_prefix").isNotNull())
     )
     if cutoff is not None:
         grouped = grouped.filter(F.col("n_luids") >= cutoff)
     # the surviving prefix set is driver-scale; a single-partition sort
-    # for deterministic ns-numbering is intentional
-    w = Window.orderBy("_uri_prefix")
-    return grouped.select(
-        F.concat(F.lit(metaprefix), F.row_number().over(w).cast("string")).alias("prefix"),
-        F.col("_uri_prefix").alias("uri_prefix"),
-        "n_luids",
+    # for deterministic ns-numbering is intentional. NULLS LAST keeps
+    # the numbering of real prefixes identical to the null-free sort.
+    w = Window.orderBy(F.col("_uri_prefix").asc_nulls_last())
+    return (
+        grouped.select(
+            F.concat(
+                F.lit(metaprefix), F.row_number().over(w).cast("string")
+            ).alias("prefix"),
+            F.col("_uri_prefix").alias("uri_prefix"),
+            "n_luids",
+        )
+        .where(F.col("uri_prefix").isNotNull())
     )
 
 
