@@ -10,9 +10,10 @@ Scale notes:
   pushdown-friendly, no shuffle.
 - Set exclusions are ``left_anti`` joins; membership of large reference
   sets is a broadcast ``left_semi`` join.
-- M:N detection is two partial aggregations joined back (AQE picks
-  broadcast when the aggregated side is small) instead of the
-  reference's triply-nested driver dicts (ops.py:75-105) — the only
+- M:N detection is one distinct over the edge set plus two window
+  counts on it (no join-backs recomputing the edge subtree), then a
+  semi-join of the triple stream against the survivors — instead of the
+  reference's triply-nested driver dicts (ops.py:75-105); the only
   formulation that survives 10^12 triples.
 """
 
@@ -33,6 +34,8 @@ __all__ = [
     "exclude_triples",
     "filter_df_by_curies",
     "filter_df_by_prefixes",
+    "get_df_curies_index",
+    "get_df_prefixes_index",
     "get_df_unique_prefixes",
     "get_prefix_stratified_many_to_many",
     "get_reference_index",
@@ -291,3 +294,30 @@ def filter_df_by_curies(df: DataFrame, column: str, curies: Sequence[str]) -> Da
 def get_df_unique_prefixes(df: DataFrame, column: str) -> DataFrame:
     """Distinct prefixes used in a CURIE column (reference dataframe.py:304-345)."""
     return df.select(curie_prefix(column).alias("prefix")).distinct()
+
+
+def get_df_prefixes_index(
+    df: DataFrame, column: str, *, id_col: "str | None" = None
+) -> DataFrame:
+    """prefix → sorted row ids (reference ``get_df_prefixes_index``,
+    dataframe.py:289-301 — there: row positions; rows have no stable
+    position in a distributed frame, so an explicit id column is used,
+    defaulting to ``monotonically_increasing_id`` for parity shape)."""
+    rid = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    return (
+        df.select(curie_prefix(column).alias("prefix"), rid.alias("_rid"))
+        .groupBy("prefix")
+        .agg(F.array_sort(F.collect_list("_rid")).alias("row_ids"))
+    )
+
+
+def get_df_curies_index(
+    df: DataFrame, column: str, *, id_col: "str | None" = None
+) -> DataFrame:
+    """CURIE → sorted row ids (reference dataframe.py:228-235)."""
+    rid = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    return (
+        df.select(F.col(column).alias("curie"), rid.alias("_rid"))
+        .groupBy("curie")
+        .agg(F.array_sort(F.collect_list("_rid")).alias("row_ids"))
+    )

@@ -197,3 +197,23 @@ def test_distributed_discovery(spark):
     assert {(r.prefix, r.uri_prefix) for r in conv3.records} == {
         (r.prefix, r.uri_prefix) for r in expected3.records
     }
+
+
+def test_df_index_ops(spark):
+    """prefix/CURIE → row-id indexes (reference dataframe.py:228-301)."""
+    from curies_spark.operators.triples import get_df_curies_index, get_df_prefixes_index
+
+    df = spark.createDataFrame(
+        [(1, "CHEBI:1"), (2, "CHEBI:2"), (3, "GO:1"), (4, "CHEBI:1")],
+        ["rid", "curie"],
+    )
+    by_prefix = {
+        r["prefix"]: r["row_ids"]
+        for r in get_df_prefixes_index(df, "curie", id_col="rid").collect()
+    }
+    assert by_prefix == {"CHEBI": [1, 2, 4], "GO": [3]}
+    by_curie = {
+        r["curie"]: r["row_ids"]
+        for r in get_df_curies_index(df, "curie", id_col="rid").collect()
+    }
+    assert by_curie == {"CHEBI:1": [1, 4], "CHEBI:2": [2], "GO:1": [3]}
