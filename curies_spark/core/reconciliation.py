@@ -3,6 +3,14 @@
 Semantics from the reference (/root/reference/src/curies/reconciliation.py:39-265).
 These operate on the small record list; after reconciliation the caller
 re-broadcasts the new converter to executors.
+
+Deliberate deviation: these functions are PURE — records are copied
+before modification, so the input converter stays valid. The reference
+mutates the input converter's Record objects in place while returning a
+new Converter (observable via reconciliation.py:50-86), which would
+corrupt an already-broadcast converter here. The RETURNED converter
+behaves identically (property-checked against the reference in
+tests/test_property_differential.py).
 """
 
 from __future__ import annotations

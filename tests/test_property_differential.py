@@ -131,3 +131,103 @@ def test_random_epm_agreement(case):
     for s in probes:
         for op in OPS:
             assert _outcome(ours, op, s) == _outcome(theirs, op, s), (op, s)
+
+
+# ---------------------------------------------------------------------------
+# chain + reconciliation parity
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(_case(), _epm())
+def test_random_chain_agreement(case, records_b):
+    """chain(): first-wins priority merge parity on random converter pairs."""
+    from curies_spark.core.converter import chain as our_chain
+
+    records_a, probes = case
+    ours_a, theirs_a, *_ = _build_both(records_a)
+    ours_b, theirs_b, *_ = _build_both(records_b)
+    if None in (ours_a, ours_b, theirs_a, theirs_b):
+        return
+    # exception parity: multi-match merges raise on BOTH sides
+    # (reference api.py:1005-1007 "new record has duplicates")
+    try:
+        ours = our_chain([ours_a, ours_b])
+        ours_exc = None
+    except Exception as e:  # noqa: BLE001
+        ours, ours_exc = None, type(e).__name__
+    try:
+        theirs = ref.chain([theirs_a, theirs_b])
+        theirs_exc = None
+    except Exception as e:  # noqa: BLE001
+        theirs, theirs_exc = None, type(e).__name__
+    assert (ours is None) == (theirs is None), (ours_exc, theirs_exc)
+    if ours is None:
+        return
+    assert {r.prefix for r in ours.records} == {r.prefix for r in theirs.records}
+    for record in theirs.records:
+        got = ours.get_record(record.prefix)
+        assert got is not None, record.prefix
+        assert got.uri_prefix == record.uri_prefix, record.prefix
+        assert sorted(got.prefix_synonyms) == sorted(record.prefix_synonyms)
+        assert sorted(got.uri_prefix_synonyms) == sorted(record.uri_prefix_synonyms)
+    for s in probes:
+        for op in OPS:
+            assert _outcome(ours, op, s) == _outcome(theirs, op, s), (op, s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_case(), st.data())
+def test_random_remap_rewire_agreement(case, data):
+    """remap_curie_prefixes / rewire parity on random remappings,
+    including clash-skip and error behavior."""
+    from curies_spark.core.reconciliation import remap_curie_prefixes, rewire
+
+    import curies.reconciliation as ref_rec
+
+    records, probes = case
+    ours, theirs, *_ = _build_both(records)
+    if ours is None:
+        return
+    prefixes = [r["prefix"] for r in records]
+    n = data.draw(st.integers(1, min(3, len(prefixes))))
+    olds = data.draw(
+        st.lists(st.sampled_from(prefixes), min_size=n, max_size=n, unique=True)
+    )
+    news = data.draw(
+        st.lists(_prefix, min_size=n, max_size=n, unique_by=str.lower)
+    )
+    remapping = dict(zip(olds, news))
+
+    def run(fn, conv, mapping):
+        try:
+            return ("ok", fn(conv, mapping))
+        except Exception as e:  # noqa: BLE001
+            return ("raised", type(e).__name__)
+
+    got_kind, got = run(remap_curie_prefixes, ours, remapping)
+    want_kind, want = run(ref_rec.remap_curie_prefixes, theirs, remapping)
+    assert got_kind == want_kind, (remapping, got, want)
+    if got_kind == "ok":
+        for s in probes:
+            assert _outcome(got, "compress_or_standardize", s) == _outcome(
+                want, "compress_or_standardize", s
+            ), ("remap", remapping, s)
+
+    # rebuild: the REFERENCE mutates the input converter's records in
+    # place during remapping (documented deviation — ours is pure), so
+    # `theirs` is unusable after the call above
+    ours, theirs, *_ = _build_both(records)
+    rewiring = {
+        data.draw(st.sampled_from(prefixes)): f"https://rewired.example.org/{data.draw(_host)}/"
+    }
+    got_kind, got = run(rewire, ours, rewiring)
+    want_kind, want = run(ref_rec.rewire, theirs, rewiring)
+    assert got_kind == want_kind, (rewiring, got, want)
+    if got_kind == "ok":
+        for s in probes:
+            assert _outcome(got, "compress", s) == _outcome(want, "compress", s), (
+                "rewire",
+                rewiring,
+                s,
+            )
