@@ -66,18 +66,21 @@ __all__ = [
     "standardize_curie_col",
     "standardize_prefix_col",
     "standardize_uri_col",
+    "validate_identifier_col",
 ]
 
 #: Above this many URI prefixes the compress kernel switches from a
-#: codegen'd when-chain to the broadcast-trie pandas UDF. The when-chain
-#: is O(#prefixes) per row but JVM-side; the UDF is O(#distinct lengths)
-#: hash probes per row but pays the Arrow boundary once per batch.
+#: codegen'd when-chain to the length-bucketed arrow_udf. The when-chain
+#: is O(#prefixes) per row but JVM-side; the arrow_udf is O(#distinct
+#: prefix lengths) batch-level kernels and pays the Python-worker
+#: boundary once per Arrow batch.
 NATIVE_COMPRESS_THRESHOLD = 48
 
 #: Above this many prefix-map entries the expand kernel switches from a
-#: MapType literal (embedded in the plan, constant-folded) to a pandas
-#: UDF against the broadcast converter. Literal maps beyond ~10k entries
-#: bloat the plan serialization shipped with every task.
+#: MapType literal (embedded in the plan, constant-folded) to the
+#: bucketed arrow_udf against the broadcast converter. Literal maps
+#: beyond ~10k entries bloat the plan serialization shipped with every
+#: task.
 NATIVE_EXPAND_THRESHOLD = 10_000
 
 PARSE_SCHEMA = StructType(
@@ -799,6 +802,31 @@ def is_w3c_curie_col(curie: "Column | str") -> Column:
         .when(prefix == "", luid_ok)  # ":x" — empty prefix is allowed
         .otherwise(prefix.rlike(f"^{NCNAME_PATTERN}$") & luid_ok)
     )
+
+
+def validate_identifier_col(
+    prefix: "Column | str", identifier: "Column | str", converter
+) -> Column:
+    """Per-prefix regex validation of identifiers against the converter's
+    ``pattern_map`` (reference Record.pattern, api.py:683-689 + the
+    ``standardize_identifier`` subclass hook, api.py:2066-2083): TRUE on
+    full match, FALSE on mismatch, NULL when the prefix has no pattern.
+
+    Native: an ordered when-chain (one ``rlike`` per patterned prefix) —
+    pattern maps are record-scale, and each row evaluates exactly one
+    branch's regex.
+    """
+    p, i = _col(prefix), _col(identifier)
+    conv = _broadcast(converter)
+    expr: Column = F.lit(None).cast("boolean")
+    for record_prefix, pattern in reversed(list(conv.pattern_map.items())):
+        anchored = pattern
+        if not anchored.startswith("^"):
+            anchored = "^" + anchored
+        if not anchored.endswith("$"):
+            anchored = anchored + "$"
+        expr = F.when(p == record_prefix, i.rlike(anchored)).otherwise(expr)
+    return expr
 
 
 # ---------------------------------------------------------------------------

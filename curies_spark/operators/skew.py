@@ -47,6 +47,15 @@ def salted_count_distinct(
     uniform because the salt is derived from the value; stage 2 sums the
     per-salt distinct counts. No single reducer ever sees a hot key's
     full value set.
+
+    Measured note (tools/bench_skew.py): for a PLAIN ``countDistinct``
+    Spark's own distinct-aggregate expansion already keys the partial
+    aggregation on (key, value), so this explicit form is parity, not a
+    win — use it when composing with other aggregates in one pass
+    (where Spark would fall back to expand+single-reducer) or on
+    engines without the expansion. Skew where salting DOES pay:
+    :func:`salted_repartition` before heavy per-partition work
+    (measured 2.6× on a 90%-hot key at 8 cores).
     """
     salted = df.select(
         F.col(key), F.col(value), F.pmod(F.xxhash64(F.col(value)), F.lit(n_salt)).alias("_salt")

@@ -269,3 +269,29 @@ def test_file_convert_column(spark, tmp_path):
         "b": "http://purl.obolibrary.org/obo/CHEBI_2",
         "c": "nope",
     }
+
+
+def test_validate_identifier_col(spark):
+    """Per-prefix pattern validation (reference Record.pattern, api.py:683-689)."""
+    from curies_spark.core.converter import Converter
+    from curies_spark.functions.kernels import validate_identifier_col
+
+    conv = Converter.from_extended_prefix_map(
+        [
+            {"prefix": "CHEBI", "uri_prefix": "http://x/c_", "pattern": r"^\d+$"},
+            {"prefix": "GO", "uri_prefix": "http://x/g_", "pattern": r"\d{7}"},
+            {"prefix": "none", "uri_prefix": "http://x/n_"},
+        ]
+    )
+    df = spark.createDataFrame(
+        [("CHEBI", "1234"), ("CHEBI", "12a4"), ("GO", "0032571"),
+         ("GO", "123"), ("none", "anything")],
+        ["prefix", "identifier"],
+    )
+    got = [
+        r["ok"]
+        for r in df.select(
+            validate_identifier_col("prefix", "identifier", conv).alias("ok")
+        ).collect()
+    ]
+    assert got == [True, False, True, False, None]
