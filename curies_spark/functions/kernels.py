@@ -206,9 +206,32 @@ def expand_all_col(curie: "Column | str", converter) -> Column:
 
     Native: a ``MapType(string, array<string>)`` literal keyed by every
     prefix+synonym, then ``transform`` concatenates the identifier.
+    Past :data:`NATIVE_EXPAND_THRESHOLD` the map literal would bloat
+    every serialized task, so a pandas UDF against the broadcast
+    converter takes over (array results; cold path — sameAs fan-out is
+    usually computed on the distinct entity set, reference
+    mapping_service/api.py:96-118).
     """
     c = _col(curie)
     conv = _broadcast(converter)
+    if len(conv.prefix_map) > NATIVE_EXPAND_THRESHOLD:
+        from pyspark.sql.types import ArrayType
+
+        get = _converter_value_getter(converter)
+
+        @F.pandas_udf(ArrayType(StringType()))
+        def _expand_all(series: pd.Series) -> pd.Series:
+            cv = get()
+
+            def one(s):
+                if s is None or ":" not in s:
+                    return None
+                rv = cv.expand_all(s)
+                return list(rv) if rv is not None else None
+
+            return series.map(one)
+
+        return _expand_all(c)
     pairs: list[Column] = []
     for record in conv.records:
         uri_prefixes = F.array(
@@ -413,30 +436,87 @@ def compress_col(
 # ---------------------------------------------------------------------------
 
 
+def _exact_match_udf(converter, mapping_attr: str, mapping_builder):
+    """arrow_udf doing a whole-string exact lookup against a broadcast
+    dict — one ``index_in`` + ``take`` per Arrow batch. The large-map
+    twin of a MapType-literal ``element_at``."""
+    get = _converter_value_getter(converter)
+
+    @F.arrow_udf(StringType())
+    def _lookup(arr):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        conv = get()
+        cached = getattr(conv, mapping_attr, None)
+        if cached is None:
+            mapping = mapping_builder(conv)
+            cached = (pa.array(list(mapping)), pa.array(list(mapping.values())))
+            setattr(conv, mapping_attr, cached)
+        keys, values = cached
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pc.take(values, pc.index_in(arr, value_set=keys))
+
+    return _lookup
+
+
 def standardize_prefix_col(
     prefix: "Column | str", converter, *, passthrough: bool = False
 ) -> Column:
-    """Synonym → canonical prefix (reference api.py:2239-2278)."""
+    """Synonym → canonical prefix (reference api.py:2239-2278).
+
+    MapType-literal probe for native-sized maps; a broadcast exact-match
+    arrow_udf past :data:`NATIVE_EXPAND_THRESHOLD` (literal maps beyond
+    ~10k entries bloat every serialized task)."""
     c = _col(prefix)
     conv = _broadcast(converter)
-    standardized = F.element_at(_synonym_to_prefix_map_expr(conv), c)
+    if len(conv.synonym_to_prefix) <= NATIVE_EXPAND_THRESHOLD:
+        standardized = F.element_at(_synonym_to_prefix_map_expr(conv), c)
+    else:
+        standardized = _exact_match_udf(
+            converter, "_std_prefix_table", lambda cv: cv.synonym_to_prefix
+        )(c)
     return F.coalesce(standardized, c) if passthrough else standardized
 
 
 def parse_curie_col(curie: "Column | str", converter) -> Column:
     """CURIE → struct(prefix, identifier) with prefix standardization
     (reference ``parse_curie`` api.py:2039-2052). NULL when there is no
-    delimiter or the prefix is unknown."""
+    delimiter or the prefix is unknown. Large maps go through the same
+    bucketed arrow_udf machinery as expansion (keys ``prefix:`` — at
+    most one can match, see :func:`_expand_arrow_buckets`)."""
     c = _col(curie)
     conv = _broadcast(converter)
     pos = F.locate(":", c)
-    raw_prefix = F.substring_index(c, ":", 1)
     identifier = F.substr(c, pos + F.lit(1))
-    norm_prefix = F.element_at(_synonym_to_prefix_map_expr(conv), raw_prefix)
-    return F.when(
-        (pos > 0) & norm_prefix.isNotNull(),
-        F.struct(norm_prefix.alias("prefix"), identifier.alias("identifier")),
-    )
+    if len(conv.synonym_to_prefix) <= NATIVE_EXPAND_THRESHOLD:
+        raw_prefix = F.substring_index(c, ":", 1)
+        norm_prefix = F.element_at(_synonym_to_prefix_map_expr(conv), raw_prefix)
+        return F.when(
+            (pos > 0) & norm_prefix.isNotNull(),
+            F.struct(norm_prefix.alias("prefix"), identifier.alias("identifier")),
+        )
+    get = _converter_value_getter(converter)
+
+    @F.arrow_udf(PARSE_SCHEMA)
+    def _parse_curie(arr):
+        import pyarrow as pa
+
+        conv_v = get()
+        buckets = getattr(conv_v, "_parse_curie_arrow_buckets", None)
+        if buckets is None:
+            buckets = _build_arrow_buckets(
+                {f"{syn}:": canonical for syn, canonical in conv_v.synonym_to_prefix.items()}
+            )
+            conv_v._parse_curie_arrow_buckets = buckets
+        prefixes, identifiers = _bucketed_prefix_match(arr, buckets)
+        return pa.StructArray.from_arrays(
+            [prefixes, identifiers], names=["prefix", "identifier"]
+        )
+
+    struct = _parse_curie(c)
+    return F.when(struct.getField("prefix").isNotNull(), struct)
 
 
 def standardize_curie_col(

@@ -295,3 +295,44 @@ def test_validate_identifier_col(spark):
         ).collect()
     ]
     assert got == [True, False, True, False, None]
+
+
+def test_large_map_paths_match_native(spark, conv, sconv, monkeypatch):
+    """Force the large-map UDF fallbacks of standardize_prefix /
+    parse_curie / standardize_curie / expand_all and require identical
+    output to the native MapType-literal paths."""
+    monkeypatch.setattr(kernels, "NATIVE_EXPAND_THRESHOLD", 0)
+
+    got = _run(spark, CURIES, sconv.standardize_curie("v"))
+    want = _scalar(conv, conv.standardize_curie, CURIES)
+    assert got == want
+
+    prefixes = ["CHEBI", "chebi", "GO", "nope", "", None]
+    got = _run(spark, prefixes, sconv.standardize_prefix("v"))
+    want = [conv.standardize_prefix(p) if p is not None else None for p in prefixes]
+    assert got == want
+
+    parsed = sconv.parse_curie("v")
+    df = spark.createDataFrame([(v,) for v in CURIES], ["v"])
+    got = [
+        (r["p"]["prefix"], r["p"]["identifier"]) if r["p"] is not None else None
+        for r in df.select(parsed.alias("p")).collect()
+    ]
+    want = []
+    for v in CURIES:
+        try:
+            rt = conv.parse_curie(v)
+        except Exception:
+            rt = None
+        want.append((rt.prefix, rt.identifier) if rt is not None else None)
+    assert got == want
+
+    got = _run(spark, CURIES, sconv.expand_all("v"))
+    want = []
+    for v in CURIES:
+        try:
+            rv = conv.expand_all(v)
+        except Exception:
+            rv = None
+        want.append(list(rv) if rv is not None else None)
+    assert got == want
