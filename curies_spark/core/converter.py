@@ -503,7 +503,21 @@ class Converter:
     def compress(
         self, uri: str, *, strict: bool = False, passthrough: bool = False
     ) -> str | None:
-        """URI → CURIE with longest-prefix matching (reference api.py:1732-1778)."""
+        """URI → CURIE with longest-prefix matching (reference api.py:1732-1778).
+
+        >>> conv = Converter.from_extended_prefix_map([
+        ...     {"prefix": "GO", "uri_prefix": "http://purl.obolibrary.org/obo/GO_"},
+        ...     {"prefix": "OBO", "uri_prefix": "http://purl.obolibrary.org/obo/"},
+        ... ])
+        >>> conv.compress("http://purl.obolibrary.org/obo/GO_0032571")  # longest wins
+        'GO:0032571'
+        >>> conv.compress("http://purl.obolibrary.org/obo/go.owl")
+        'OBO:go.owl'
+        >>> conv.compress("http://example.org/nope") is None
+        True
+        >>> conv.compress("http://example.org/nope", passthrough=True)
+        'http://example.org/nope'
+        """
         reference = self.parse_uri(uri)
         if reference:
             return self.format_curie(reference.prefix, reference.identifier)
@@ -622,7 +636,19 @@ class Converter:
     def expand(
         self, curie: str, *, strict: bool = False, passthrough: bool = False
     ) -> str | None:
-        """CURIE → URI (reference api.py:1949-1983)."""
+        """CURIE → URI (reference api.py:1949-1983).
+
+        >>> conv = Converter.from_extended_prefix_map([{
+        ...     "prefix": "CHEBI", "prefix_synonyms": ["chebi"],
+        ...     "uri_prefix": "http://purl.obolibrary.org/obo/CHEBI_",
+        ... }])
+        >>> conv.expand("chebi:138488")  # synonym prefix standardized
+        'http://purl.obolibrary.org/obo/CHEBI_138488'
+        >>> conv.expand("missing:1") is None
+        True
+        >>> conv.expand("a1:b2:c3") is None  # split on FIRST delimiter
+        True
+        """
         reference = self.parse_curie(curie, strict=False)
         if reference is not None:
             return self.expand_reference(reference, strict=strict, passthrough=passthrough)
@@ -713,7 +739,16 @@ class Converter:
 
 def chain(converters: Sequence[Converter], *, case_sensitive: bool = True) -> Converter:
     """Priority-merge converters: earlier wins; later overlapping records merge
-    in as synonyms (reference api.py:2769-2840)."""
+    in as synonyms (reference api.py:2769-2840).
+
+    >>> a = Converter.from_prefix_map({"GO": "http://purl.obolibrary.org/obo/GO_"})
+    >>> b = Converter.from_prefix_map({"GO": "https://identifiers.org/go:"})
+    >>> merged = chain([a, b])
+    >>> merged.compress("https://identifiers.org/go:0032571")  # URI synonym of GO now
+    'GO:0032571'
+    >>> merged.expand("GO:0032571")  # first converter's canonical URI wins
+    'http://purl.obolibrary.org/obo/GO_0032571'
+    """
     converters = list(converters)
     if not converters:
         raise ValueError

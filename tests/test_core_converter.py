@@ -437,3 +437,14 @@ def test_incremental_build() -> None:
     assert converter.compress("https://example.com/hgnc/1234") == "hgnc:1234"
     with pytest.raises(ValueError):
         converter.add_prefix_synonym("hgnc", "hgnc")
+
+
+def test_doctests() -> None:
+    """Executable docstrings, the reference's xdoctest discipline
+    (reference tox.ini:61-64)."""
+    import doctest
+
+    from curies_spark.core import converter as converter_module
+
+    results = doctest.testmod(converter_module)
+    assert results.failed == 0 and results.attempted >= 8
