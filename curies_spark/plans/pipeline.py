@@ -182,6 +182,48 @@ def _shard_col(n_shards: int):
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")), F.lit(n_shards))
 
 
+def _run_shard(spark: SparkSession, repos: DataFrame, out: Path, bc, shard: int) -> dict:
+    """One shard's map phase: stats → mentions → linking → file edges +
+    entity side-output, finished by an atomic manifest write (the
+    checkpoint marker — a shard is done iff its manifest exists)."""
+    t0 = time.perf_counter()
+    shard_df = repos.filter(F.col("_shard") == shard).drop("_shard")
+
+    stats_row = shard_df.select(
+        F.count(F.lit(1)).alias("input_rows"),
+        sha256_rollup(shard_df).alias("content_sha_rollup"),
+    ).collect()[0]
+
+    mentions = extract_mentions(shard_df)
+    linked = link_mentions(mentions, bc).cache()
+    n_mentions = linked.count()
+    n_linked = linked.filter(F.col("entity").isNotNull()).count()
+
+    build_file_edges(linked).write.mode("overwrite").parquet(
+        str(out / "triples" / f"shard={shard}")
+    )
+    # side output for the merge phase: this shard's (repo, entity) set
+    (
+        linked.filter(F.col("entity").isNotNull())
+        .select("repo", "entity")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(str(out / "_entities" / f"shard={shard}"))
+    )
+    n_triples = spark.read.parquet(str(out / "triples" / f"shard={shard}")).count()
+    linked.unpersist()
+
+    return {
+        "shard": shard,
+        "input_rows": stats_row["input_rows"],
+        "content_sha_rollup": str(stats_row["content_sha_rollup"] or 0),
+        "mentions": n_mentions,
+        "linked_mentions": n_linked,
+        "triples": n_triples,
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     repos: DataFrame,
@@ -190,6 +232,7 @@ def run_pipeline(
     converter: "Converter | None" = None,
     n_shards: int = 8,
     resume: bool = True,
+    max_concurrent_shards: int = 2,
 ) -> dict:
     """Run the sharded, resumable KG-construction job.
 
@@ -197,7 +240,15 @@ def run_pipeline(
     ``{out_dir}/_manifests/shard-K.json`` lineage manifests; returns the
     aggregate metrics dict. With ``resume=True``, shards whose manifest
     already exists are skipped (checkpoint resume after a failure).
+
+    ``max_concurrent_shards`` shard jobs are submitted from driver
+    threads so the cluster never idles between a shard's stages
+    (SparkContext is thread-safe; the scheduler interleaves the jobs'
+    stages). Shard granularity stays the checkpoint unit — a crash
+    loses at most the in-flight shards.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     conv = converter
     if conv is None:
         from ..sources.synthetic import pipeline_converter
@@ -212,50 +263,26 @@ def run_pipeline(
     repos = repos.withColumn("_shard", _shard_col(n_shards))
     metrics: list[dict] = []
     resumed = 0
+    pending: list[int] = []
     for shard in range(n_shards):
         manifest_path = manifest_dir / f"shard-{shard}.json"
         if resume and manifest_path.exists():
             metrics.append(json.loads(manifest_path.read_text()))
             resumed += 1
-            continue
-        t0 = time.perf_counter()
-        shard_df = repos.filter(F.col("_shard") == shard).drop("_shard")
+        else:
+            pending.append(shard)
 
-        stats_row = shard_df.select(
-            F.count(F.lit(1)).alias("input_rows"),
-            sha256_rollup(shard_df).alias("content_sha_rollup"),
-        ).collect()[0]
-
-        mentions = extract_mentions(shard_df)
-        linked = link_mentions(mentions, bc).cache()
-        n_mentions = linked.count()
-        n_linked = linked.filter(F.col("entity").isNotNull()).count()
-
-        build_file_edges(linked).write.mode("overwrite").parquet(
-            str(out / "triples" / f"shard={shard}")
-        )
-        # side output for the merge phase: this shard's (repo, entity) set
-        (
-            linked.filter(F.col("entity").isNotNull())
-            .select("repo", "entity")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(str(out / "_entities" / f"shard={shard}"))
-        )
-        n_triples = spark.read.parquet(str(out / "triples" / f"shard={shard}")).count()
-        linked.unpersist()
-
-        manifest = {
-            "shard": shard,
-            "input_rows": stats_row["input_rows"],
-            "content_sha_rollup": str(stats_row["content_sha_rollup"] or 0),
-            "mentions": n_mentions,
-            "linked_mentions": n_linked,
-            "triples": n_triples,
-            "wall_sec": round(time.perf_counter() - t0, 3),
-        }
-        manifest_path.write_text(json.dumps(manifest))
-        metrics.append(manifest)
+    if pending:
+        with ThreadPoolExecutor(max_workers=max(1, max_concurrent_shards)) as pool:
+            futures = {
+                shard: pool.submit(_run_shard, spark, repos, out, bc, shard)
+                for shard in pending
+            }
+            for shard, future in futures.items():
+                manifest = future.result()
+                (manifest_dir / f"shard-{shard}.json").write_text(json.dumps(manifest))
+                metrics.append(manifest)
+    metrics.sort(key=lambda m: m["shard"])
 
     # merge phase: entity-scoped edges over the union of side outputs.
     # Recomputed whenever any shard ran this invocation; skipped only on
