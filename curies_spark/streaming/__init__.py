@@ -5,6 +5,7 @@ from .ingest import (
     read_repo_stream,
     start_triples_stream,
     stream_file_edges,
+    stream_prefix_counts,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "read_repo_stream",
     "start_triples_stream",
     "stream_file_edges",
+    "stream_prefix_counts",
 ]

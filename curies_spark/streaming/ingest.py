@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 
 from ..plans.pipeline import file_edges_raw, extract_mentions, link_mentions
 
-__all__ = ["REPO_SCHEMA", "read_repo_stream", "stream_file_edges", "start_triples_stream"]
+__all__ = [
+    "REPO_SCHEMA",
+    "read_repo_stream",
+    "stream_file_edges",
+    "stream_prefix_counts",
+    "start_triples_stream",
+]
 
 #: watermark delay bounding the streaming dedup state; file-scoped
 #: duplicates are same-batch, so any delay covering one trigger is exact
@@ -82,6 +88,37 @@ def stream_file_edges(repos: DataFrame, converter) -> DataFrame:
         .withWatermark("_ingest_ts", DEDUP_WATERMARK)
         .dropDuplicatesWithinWatermark(["subject", "predicate", "object"])
         .drop("_ingest_ts")
+    )
+
+
+def stream_prefix_counts(
+    repos: DataFrame,
+    converter,
+    *,
+    window_duration: str = "1 minute",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup of linked-entity counts per
+    canonical prefix — the monitoring stream for a continuously-fed
+    pipeline (link rate per vocabulary over time).
+
+    Rows carry no event time, so ingest processing-time stands in; the
+    watermark bounds the window state so the rollup runs indefinitely.
+    The aggregation is partial+final per window partition — Zipfian
+    prefixes are fine because counts (not value sets) accumulate.
+    """
+    from ..operators.triples import curie_prefix
+
+    linked = link_mentions(extract_mentions(repos), converter)
+    return (
+        linked.filter(F.col("entity").isNotNull())
+        .withColumn("_ingest_ts", F.current_timestamp())
+        .withWatermark("_ingest_ts", watermark)
+        .groupBy(
+            F.window("_ingest_ts", window_duration).alias("window"),
+            curie_prefix("entity").alias("prefix"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_linked"))
     )
 
 

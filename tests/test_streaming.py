@@ -63,3 +63,42 @@ def test_stream_plan_is_pure_jvm(spark, tmp_path):
     assert edges.isStreaming
     plan = edges._jdf.queryExecution().analyzed().toString()
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stream_prefix_counts_windowed(spark, tmp_path):
+    """Watermarked tumbling-window rollup: summed window counts equal the
+    batch per-prefix linked-entity counts."""
+    from curies_spark.operators.triples import curie_prefix
+    from curies_spark.streaming import read_repo_stream, stream_prefix_counts
+
+    src = str(tmp_path / "wsrc")
+    sc = SparkConverter(spark, pipeline_converter())
+    repos = generate_repos(spark, 400, partitions=2)
+    repos.coalesce(1).write.mode("overwrite").parquet(src)
+
+    counts = stream_prefix_counts(read_repo_stream(spark, src), sc.broadcast)
+    assert counts.isStreaming
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("prefix_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["prefix"]: r["n"]
+        for r in spark.sql(
+            "SELECT prefix, sum(n_linked) AS n FROM prefix_counts GROUP BY prefix"
+        ).collect()
+    }
+    linked = link_mentions(extract_mentions(repos), sc.broadcast)
+    want = {
+        r["prefix"]: r["n"]
+        for r in linked.filter(F.col("entity").isNotNull())
+        .groupBy(curie_prefix("entity").alias("prefix"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
