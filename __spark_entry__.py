@@ -33,11 +33,13 @@ from curies_spark.plans.demo import (
 
 _CONVERTER = demo_converter()
 _LARGE_CONVERTER = demo.large_converter()
-_SPARK_CONVERTERS: dict[tuple[int, str], SparkConverter] = {}
+# keyed by the session OBJECT (not id(spark)): id reuse after GC could
+# hand a stale broadcast to a new session
+_SPARK_CONVERTERS: dict[tuple[SparkSession, str], SparkConverter] = {}
 
 
 def _sc(spark: SparkSession, which: str = "demo") -> SparkConverter:
-    key = (id(spark), which)
+    key = (spark, which)
     if key not in _SPARK_CONVERTERS:
         conv = _CONVERTER if which == "demo" else _LARGE_CONVERTER
         _SPARK_CONVERTERS[key] = SparkConverter(spark, conv)
@@ -69,6 +71,25 @@ _TRIPLES_SQL = (
     f"{TRIPLE_OBJECT_EXPR} AS object FROM orders"
 )
 
+_URI_TRIPLES_SQL = (
+    f"SELECT {demo.URI_TRIPLE_SUBJECT_EXPR} AS subject, "
+    f"{demo.URI_TRIPLE_PREDICATE_EXPR} AS predicate, "
+    f"{demo.URI_TRIPLE_OBJECT_EXPR} AS object FROM orders"
+)
+
+
+def _uri_triples_parts_sql() -> str:
+    """Every triple position as a URI stream, URI-shaped parts only —
+    the oracle twin of operators.discovery.uris_from_triples."""
+    return (
+        f"WITH tri AS ({_URI_TRIPLES_SQL}), "
+        "parts AS (SELECT subject AS uri FROM tri "
+        "UNION ALL SELECT predicate FROM tri "
+        "UNION ALL SELECT object FROM tri) "
+        "SELECT uri FROM parts "
+        "WHERE regexp_matches(uri, '^[A-Za-z][A-Za-z0-9+.\\-]*://')"
+    )
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -76,26 +97,24 @@ _TRIPLES_SQL = (
 
 
 def q_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sc = _sc(spark)
-    return _uris(spark, sf_dir).select("uri", sc.compress("uri").alias("curie"))
-
-
-def q_compress_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compress + its passthrough variant as two columns of one query
+    (the driver verifies at most 50 queries; merging variants keeps every
+    operator oracle-checked)."""
     sc = _sc(spark)
     return _uris(spark, sf_dir).select(
-        "uri", sc.compress("uri", passthrough=True).alias("curie")
+        "uri",
+        sc.compress("uri").alias("curie"),
+        sc.compress("uri", passthrough=True).alias("curie_passthrough"),
     )
 
 
 def q_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sc = _sc(spark)
-    return _curies(spark, sf_dir).select("curie", sc.expand("curie").alias("uri"))
-
-
-def q_expand_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expand + its passthrough variant, merged like q_compress."""
     sc = _sc(spark)
     return _curies(spark, sf_dir).select(
-        "curie", sc.expand("curie", passthrough=True).alias("uri")
+        "curie",
+        sc.expand("curie").alias("uri"),
+        sc.expand("curie", passthrough=True).alias("uri_passthrough"),
     )
 
 
@@ -140,25 +159,19 @@ def q_expand_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_compress_or_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compress_or_standardize plus the is_uri/is_curie predicates over
+    the same mixed corpus, merged into one oracle-checked query (driver
+    50-query window)."""
     sc = _sc(spark)
     mixed = _uris(spark, sf_dir).withColumnRenamed("uri", "value").unionByName(
         _curies(spark, sf_dir).withColumnRenamed("curie", "value")
     )
     return mixed.select(
         "value",
+        sc.compress_or_standardize("value").alias("curie"),
         sc.is_uri("value").alias("is_uri"),
         sc.is_curie("value").alias("is_curie"),
-    )
-
-
-def q_compress_or_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sc = _sc(spark)
-    mixed = _uris(spark, sf_dir).withColumnRenamed("uri", "value").unionByName(
-        _curies(spark, sf_dir).withColumnRenamed("curie", "value")
-    )
-    return mixed.select(
-        "value", sc.compress_or_standardize("value").alias("curie")
     )
 
 
@@ -210,9 +223,21 @@ def q_exclude_many_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_reference_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.get_reference_index(_triples(spark, sf_dir)).select(
-        "reference", F.concat_ws("|", "references").alias("objects")
+    """Forward AND backward reference indexes, tagged by direction —
+    both directions of ``get_reference_indexes`` in one oracle-checked
+    query (driver 50-query window)."""
+    t = _triples(spark, sf_dir)
+    fwd = T.get_reference_index(t).select(
+        F.lit("forward").alias("direction"),
+        "reference",
+        F.concat_ws("|", "references").alias("members"),
     )
+    bwd = T.get_reference_index(t, backward=True).select(
+        F.lit("backward").alias("direction"),
+        "reference",
+        F.concat_ws("|", "references").alias("members"),
+    )
+    return fwd.unionByName(bwd)
 
 
 def q_unique_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,6 +246,23 @@ def q_unique_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_discover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_records_df(_uris(spark, sf_dir), "uri", cutoff=2)
+
+
+def _uri_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").selectExpr(
+        f"{demo.URI_TRIPLE_SUBJECT_EXPR} AS subject",
+        f"{demo.URI_TRIPLE_PREDICATE_EXPR} AS predicate",
+        f"{demo.URI_TRIPLE_OBJECT_EXPR} AS object",
+    )
+
+
+def q_discover_from_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed get_uris_from_rdf (reference discovery.py:109-135) →
+    discovery: URIs harvested from every triple position, deduplicated,
+    then the standard delimiter-priority prefix discovery."""
+    from curies_spark.operators.discovery import discover_from_triples
+
+    return discover_from_triples(_uri_triples(spark, sf_dir), cutoff=2)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +350,8 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures — pandas-UDF path; no SQL oracle (rows-only check)."""
+    """SimHash signatures — Arrow-batched pandas-UDF path, with a full
+    DuckDB value oracle (per-bit majority vote in SQL)."""
     from curies_spark.operators.dedup import simhash_col
 
     docs = _t(spark, sf_dir, "documents")
@@ -357,6 +400,30 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", _cosine_vs_query(F.col("embedding"), F.col("qe")).alias("_c")
+    )
+    return _rank_topk(scored, 10)
+
+
+def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index ANN: build_ann_index writes a signature-partitioned
+    table once; the probe reads ONLY the buckets within hamming ≤ 1 of the
+    query signature (partition pruning — same answer as ann_lsh_topk, but
+    per-query cost is the probed buckets, not an O(N) signature scan)."""
+    import hashlib as _hl
+
+    from curies_spark.operators.similarity import build_ann_index, probe_ann_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index_path = (
+        "/tmp/curies_spark_ann_index_"
+        + _hl.sha256(sf_dir.encode()).hexdigest()[:12]
+    )
+    build_ann_index(emb, index_path, dim=64, n_planes=6, seed=7)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cand = probe_ann_index(spark, index_path, qvec, n_planes=6, multiprobe_bits=1, seed=7)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = cand.crossJoin(F.broadcast(q)).select(
         "vec_id", _cosine_vs_query(F.col("embedding"), F.col("qe")).alias("_c")
     )
     return _rank_topk(scored, 10)
@@ -493,12 +560,6 @@ def q_keep_triples_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.keep_triples_by_hash(df, sconv.converter, hashes).distinct()
 
 
-def q_reference_index_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.get_reference_index(_triples(spark, sf_dir), backward=True).select(
-        "reference", F.concat_ws("|", "references").alias("subjects")
-    )
-
-
 def q_salted_prefix_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curies_spark.operators.skew import salted_count_distinct
 
@@ -537,7 +598,8 @@ def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — pandas-UDF signatures, rows-only check."""
+    """SimHash near-dup pairs — banded blocking + exact hamming verify,
+    with a full DuckDB oracle."""
     from curies_spark.operators.dedup import simhash_candidate_pairs, simhash_col
     from curies_spark.plans.demo_training import NEAR_DUP_DOCS_SQL
 
@@ -570,23 +632,36 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature extraction with the deterministic fake decoder
-    — exercises the streaming Arrow batch path; rows-only check."""
+    — exercises the streaming Arrow batch path. The float features are
+    quantized back to their source bytes (×255) so the DuckDB oracle can
+    compare values exactly across engines."""
     from curies_spark.operators.multimodal import extract_features
 
-    return extract_features(_media(spark, sf_dir))
+    feats = extract_features(_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+        ).alias("feature_q"),
+    )
 
 
+# EXACTLY 50 entries: the driver's correctness gate verifies at most 50
+# queries (insertion order), so variant operators ride as extra columns
+# of one query (compress/expand passthrough, is_uri/is_curie,
+# forward/backward reference index) — every operator stays oracle-checked.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compress": q_compress,
-    "compress_passthrough": q_compress_passthrough,
     "expand": q_expand,
-    "expand_passthrough": q_expand_passthrough,
     "standardize_curie": q_standardize_curie,
     "standardize_uri": q_standardize_uri,
     "standardize_prefix": q_standardize_prefix,
     "parse_curie": q_parse_curie,
     "expand_all": q_expand_all,
-    "predicates_is_uri_is_curie": q_predicates,
     "compress_or_standardize": q_compress_or_standardize,
     "w3c_validation": q_w3c,
     "triple_hash": q_triple_hash,
@@ -598,6 +673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reference_index": q_reference_index,
     "unique_prefixes": q_unique_prefixes,
     "discover": q_discover,
+    "discover_from_triples": q_discover_from_triples,
     "dedup_exact": q_dedup_exact,
     "dedup_exact_docs": q_dedup_exact_docs,
     "minhash_signature": q_minhash_signature,
@@ -606,8 +682,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "lang_quality": q_lang_quality,
     "simhash_docs": q_simhash_docs,
+    "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_index_topk": q_ann_index_topk,
+    "near_dup_embeddings": q_near_dup_embeddings,
     "mentions": q_mentions,
     "compress_trie_udf": q_compress_trie_udf,
     "preprocess_parse": q_preprocess_parse,
@@ -620,16 +699,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exclude_references_both": q_exclude_references_both,
     "exclude_triples": q_exclude_triples,
     "keep_triples_by_hash": q_keep_triples_by_hash,
-    "reference_index_backward": q_reference_index_backward,
     "salted_prefix_count": q_salted_prefix_count,
     "exact_dedup_keepmin": q_exact_dedup_keepmin,
     "quality_gate": q_quality_gate,
-    "near_dup_embeddings": q_near_dup_embeddings,
-    "simhash_pairs": q_simhash_pairs,
     "media_metadata": q_media_metadata,
     "frame_sample": q_frame_sample,
     "media_features": q_media_features,
 }
+assert len(QUERIES) == 50, "driver correctness gate verifies at most 50 queries"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -695,14 +772,14 @@ def oracle_sql() -> dict[str, str]:
     compress = oracle_compress_case("uri")
     expand = oracle_expand_case("curie")
     return {
-        "compress": f"SELECT uri, {compress} AS curie FROM ({_URIS_SQL})",
-        "compress_passthrough": (
-            f"SELECT uri, {oracle_compress_case('uri', passthrough=True)} AS curie "
+        "compress": (
+            f"SELECT uri, {compress} AS curie, "
+            f"{oracle_compress_case('uri', passthrough=True)} AS curie_passthrough "
             f"FROM ({_URIS_SQL})"
         ),
-        "expand": f"SELECT curie, {expand} AS uri FROM ({_CURIES_SQL})",
-        "expand_passthrough": (
-            f"SELECT curie, {oracle_expand_case('curie', passthrough=True)} AS uri "
+        "expand": (
+            f"SELECT curie, {expand} AS uri, "
+            f"{oracle_expand_case('curie', passthrough=True)} AS uri_passthrough "
             f"FROM ({_CURIES_SQL})"
         ),
         "standardize_curie": (
@@ -728,14 +805,12 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_CURIES_SQL})"
         ),
         "expand_all": _expand_all_oracle(),
-        "predicates_is_uri_is_curie": (
-            f"SELECT value, ({oracle_compress_case('value')}) IS NOT NULL AS is_uri, "
-            f"({oracle_expand_case('value')}) IS NOT NULL AS is_curie "
-            f"FROM ({_MIXED_SQL})"
-        ),
         "compress_or_standardize": (
             f"SELECT value, coalesce({oracle_compress_case('value')}, "
-            f"{oracle_standardize_curie_case('value')}) AS curie FROM ({_MIXED_SQL})"
+            f"{oracle_standardize_curie_case('value')}) AS curie, "
+            f"({oracle_compress_case('value')}) IS NOT NULL AS is_uri, "
+            f"({oracle_expand_case('value')}) IS NOT NULL AS is_curie "
+            f"FROM ({_MIXED_SQL})"
         ),
         "w3c_validation": (
             "SELECT value, "
@@ -774,26 +849,21 @@ def oracle_sql() -> dict[str, str]:
             "ANTI JOIN m2m USING (subject, predicate, object)"
         ),
         "reference_index": (
-            f"SELECT subject AS reference, "
-            "string_agg(DISTINCT object, '|' ORDER BY object) AS objects "
-            f"FROM ({_TRIPLES_SQL}) GROUP BY subject"
+            f"WITH t AS ({_TRIPLES_SQL}) "
+            "SELECT 'forward' AS direction, subject AS reference, "
+            "string_agg(DISTINCT object, '|' ORDER BY object) AS members "
+            "FROM t GROUP BY subject "
+            "UNION ALL "
+            "SELECT 'backward' AS direction, object AS reference, "
+            "string_agg(DISTINCT subject, '|' ORDER BY subject) AS members "
+            "FROM t GROUP BY object"
         ),
         "unique_prefixes": (
             f"SELECT DISTINCT split_part(curie, ':', 1) AS prefix FROM ({_CURIES_SQL})"
         ),
-        "discover": (
-            "WITH uris AS (SELECT DISTINCT uri FROM ("
-            + _URIS_SQL
-            + ") WHERE uri IS NOT NULL AND NOT (starts_with(uri, 'https://github.com') AND strpos(uri, 'issues') > 0)), "
-            "cand AS (SELECT uri, CASE "
-            "WHEN regexp_full_match(uri, '(.*#)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*#)[\\p{L}\\p{N}]+', 1) "
-            "WHEN regexp_full_match(uri, '(.*/)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*/)[\\p{L}\\p{N}]+', 1) "
-            "WHEN regexp_full_match(uri, '(.*_)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*_)[\\p{L}\\p{N}]+', 1) "
-            "END AS uri_prefix FROM uris), "
-            "grouped AS (SELECT uri_prefix, count(DISTINCT substr(uri, length(uri_prefix) + 1)) AS n_luids "
-            "FROM cand WHERE uri_prefix IS NOT NULL GROUP BY uri_prefix HAVING n_luids >= 2) "
-            "SELECT concat('ns', CAST(row_number() OVER (ORDER BY uri_prefix) AS VARCHAR)) AS prefix, "
-            "uri_prefix, n_luids FROM grouped"
+        "discover": demo.oracle_discover_sql(_URIS_SQL, cutoff=2),
+        "discover_from_triples": demo.oracle_discover_sql(
+            _uri_triples_parts_sql(), cutoff=2
         ),
         "dedup_exact": (
             f"SELECT subject, predicate, object, count(*) AS n "
@@ -866,11 +936,6 @@ def _filter_oracles() -> dict[str, str]:
             "SELECT DISTINCT subject, predicate, object FROM hashed "
             "WHERE starts_with(h, '0')"
         ),
-        "reference_index_backward": (
-            "SELECT object AS reference, "
-            "string_agg(DISTINCT subject, '|' ORDER BY subject) AS subjects "
-            f"FROM ({_TRIPLES_SQL}) GROUP BY object"
-        ),
         "salted_prefix_count": (
             "SELECT split_part(curie, ':', 1) AS prefix, "
             "count(DISTINCT substr(curie, strpos(curie, ':') + 1)) AS n_distinct "
@@ -881,7 +946,14 @@ def _filter_oracles() -> dict[str, str]:
             "SELECT media_id, unnest(generate_series(0, duration_ms, 1000)) "
             f"AS frame_ts FROM ({MEDIA_SQL}) WHERE kind = 'video'"
         ),
+        "media_features": _dt().oracle_media_features_sql(),
     }
+
+
+def _dt():
+    from curies_spark.plans import demo_training
+
+    return demo_training
 
 
 def _training_oracles() -> dict[str, str]:
@@ -913,8 +985,13 @@ def _training_oracles() -> dict[str, str]:
         "jaccard_pairs": dt.oracle_jaccard_pairs_sql(),
         "fingerprint": dt.oracle_fingerprint_sql(),
         "lang_quality": dt.oracle_lang_quality_sql(),
+        "simhash_docs": dt.oracle_simhash_sql(),
+        "simhash_pairs": dt.oracle_simhash_pairs_sql(),
         "ann_topk": dt.oracle_ann_topk_sql(),
         "ann_lsh_topk": dt.oracle_ann_lsh_topk_sql(),
+        # the persisted index probes the same (planes, hamming ≤ 1)
+        # candidate set as the on-the-fly LSH — identical answer
+        "ann_index_topk": dt.oracle_ann_lsh_topk_sql(),
         "mentions": (
             f"{content_cte} SELECT entity, count(*) AS n FROM ("
             f"SELECT {entity} AS entity FROM m) WHERE entity IS NOT NULL "

@@ -139,14 +139,41 @@ def _get_duplicate_prefixes(records: list[Record]) -> list[DuplicateSummary]:
     ]
 
 
+#: injectable URL fetcher (url → response text). The engine core never
+#: opens network connections itself; production callers install one via
+#: :func:`set_url_fetcher` (e.g. urllib/requests), tests inject fakes.
+_URL_FETCHER: "Any" = None
+
+_URL_SCHEMES = ("https://", "http://", "ftp://")
+
+
+def set_url_fetcher(fetcher: Any) -> Any:
+    """Install the ``url -> text`` callable used by :func:`_prepare` for
+    remote inputs (the reference fetches inline with urllib,
+    api.py:840-844; the engine makes that dependency injectable so the
+    loader polymorphism works without ambient network access). Returns
+    the previous fetcher so callers can restore it."""
+    global _URL_FETCHER
+    previous, _URL_FETCHER = _URL_FETCHER, fetcher
+    return previous
+
+
 def _prepare(data: Any) -> Any:
-    """Polymorphic load: Path → JSON file, str path → JSON file, else literal
-    (reference api.py:826-836; remote URLs intentionally unsupported here —
-    no network in the engine core)."""
+    """Polymorphic load: Path → JSON file, URL string → fetched JSON (via
+    the injected fetcher), str path → JSON file, else literal
+    (reference api.py:826-844)."""
     if isinstance(data, Path):
         with data.open() as file:
             return json.load(file)
     if isinstance(data, str):
+        if data.startswith(_URL_SCHEMES):
+            if _URL_FETCHER is None:
+                raise ValueError(
+                    f"cannot load remote input {data!r}: no URL fetcher installed "
+                    "(call curies_spark.core.converter.set_url_fetcher first; the "
+                    "engine core performs no ambient network I/O)"
+                )
+            return json.loads(_URL_FETCHER(data))
         with open(data) as file:
             return json.load(file)
     return data
@@ -402,6 +429,28 @@ class Converter:
             elif isinstance(value, dict) and value.get("@prefix") is True:
                 prefix_map[key] = value["@id"]
         return cls.from_prefix_map(prefix_map, **kwargs)
+
+    @classmethod
+    def from_jsonld_github(
+        cls, owner: str, repo: str, *path: str, branch: str = "main", **kwargs: Any
+    ) -> "Converter":
+        """Construct the raw.githubusercontent URL for a JSON-LD context
+        file and load it through :meth:`from_jsonld` (reference
+        api.py:1406-1438). Requires an installed URL fetcher
+        (:func:`set_url_fetcher`)."""
+        if not path or not path[-1].endswith(".jsonld"):
+            raise ValueError("final path argument should end with .jsonld")
+        rest = "/".join(path)
+        url = f"https://raw.githubusercontent.com/{owner}/{repo}/{branch}/{rest}"
+        return cls.from_jsonld(url, **kwargs)
+
+    @classmethod
+    def from_shacl(cls, source: "str | Path", **kwargs: Any) -> "Converter":
+        """SHACL ``sh:declare`` turtle → Converter (reference
+        api.py:1508-1545); the parser lives in sources.loaders."""
+        from ..sources.loaders import from_shacl
+
+        return from_shacl(source, **kwargs)
 
     # ------------------------------------------------------------------
     # derived maps (reference api.py:923-959)

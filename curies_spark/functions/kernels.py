@@ -273,21 +273,6 @@ def _native_compress_pair(conv: Converter, uri: Column) -> "tuple[Column, Column
     return prefix_expr, ident_expr
 
 
-def _length_buckets(conv: Converter) -> "list[tuple[int, dict[str, str]]]":
-    """reverse_prefix_map bucketed by URI-prefix length, longest first —
-    cached on the converter, computed once per executor. Probing buckets
-    longest-first preserves the trie's longest-match guarantee
-    (reference api.py:1762-1769) because the first hit wins."""
-    cached = getattr(conv, "_length_buckets", None)
-    if cached is None:
-        buckets: dict[int, dict[str, str]] = {}
-        for uri_prefix, prefix in conv.reverse_prefix_map.items():
-            buckets.setdefault(len(uri_prefix), {})[uri_prefix] = prefix
-        cached = sorted(buckets.items(), reverse=True)
-        conv._length_buckets = cached
-    return cached
-
-
 def _build_arrow_buckets(mapping: "dict[str, str]"):
     """Per-BYTE-length (slice_len, binary key_set, value_array) pyarrow
     lookup tables. Keys are UTF-8 bytes: byte-prefix match is exactly
@@ -758,16 +743,23 @@ def parse_preprocessed_df(
     CollapseProject will not merge them because the struct columns are
     non-cheap and referenced more than once.
     """
+    # collision-free staging names: suffix until unused in df.columns
+    taken = set(df.columns)
+    pre_col, parsed_col = "_pre", "_parsed"
+    while pre_col in taken:
+        pre_col += "_"
+    while parsed_col in taken:
+        parsed_col += "_"
     pre = preprocess_value_col(column, rules, context=context, preclean=preclean)
-    out = df.withColumn("_pre", pre)
-    s = F.col("_pre.value")
+    out = df.withColumn(pre_col, pre)
+    s = F.col(f"{pre_col}.value")
     out = out.withColumn(
-        "_parsed", F.coalesce(parse_uri_col(s, converter), parse_curie_col(s, converter))
+        parsed_col, F.coalesce(parse_uri_col(s, converter), parse_curie_col(s, converter))
     )
     post_identifier = _postprocess_identifier_expr(
-        rules, F.col("_parsed.prefix"), F.col("_parsed.identifier")
+        rules, F.col(f"{parsed_col}.prefix"), F.col(f"{parsed_col}.identifier")
     )
-    full = F.col("_pre.full_curie")
+    full = F.col(f"{pre_col}.full_curie")
     full_pos = F.locate(":", full)
     final = (
         F.when(
@@ -779,18 +771,18 @@ def parse_preprocessed_df(
                 .alias("identifier"),
             ),
         )
-        .when(F.col("_pre.blocked"), F.lit(None).cast(PARSE_SCHEMA))
+        .when(F.col(f"{pre_col}.blocked"), F.lit(None).cast(PARSE_SCHEMA))
         .otherwise(
             F.when(
-                F.col("_parsed").isNotNull(),
+                F.col(parsed_col).isNotNull(),
                 F.struct(
-                    F.col("_parsed.prefix").alias("prefix"),
+                    F.col(f"{parsed_col}.prefix").alias("prefix"),
                     post_identifier.alias("identifier"),
                 ),
             )
         )
     )
-    return out.withColumn(target, final).drop("_pre", "_parsed")
+    return out.withColumn(target, final).drop(pre_col, parsed_col)
 
 
 def compress_or_standardize_preprocessed_col(
@@ -900,11 +892,10 @@ def validate_identifier_col(
     conv = _broadcast(converter)
     expr: Column = F.lit(None).cast("boolean")
     for record_prefix, pattern in reversed(list(conv.pattern_map.items())):
-        anchored = pattern
-        if not anchored.startswith("^"):
-            anchored = "^" + anchored
-        if not anchored.endswith("$"):
-            anchored = anchored + "$"
+        # unconditional non-capturing wrap: idempotent for anchored
+        # patterns, and immune to a literal trailing '\$' fooling an
+        # endswith('$') heuristic into skipping the anchor
+        anchored = "^(?:" + pattern + ")$"
         expr = F.when(p == record_prefix, i.rlike(anchored)).otherwise(expr)
     return expr
 

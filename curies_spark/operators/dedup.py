@@ -248,7 +248,10 @@ def simhash_col(text: "Column | str", *, n_bits: int = 64) -> Column:
                 count=len(tokens),
             )
             bits = (hashes[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1
-            votes = bits.sum(axis=0) * 2 - len(tokens)
+            # cast before the subtraction: a uint64 sum would WRAP on
+            # negative votes (sum*2 < n) instead of going negative,
+            # degenerating the signature to nearly all-ones
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(tokens)
             word = np.uint64(0)
             for i in np.nonzero(votes > 0)[0]:
                 word |= np.uint64(1) << np.uint64(i)

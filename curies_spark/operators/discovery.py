@@ -23,7 +23,13 @@ from ..core.converter import Converter
 from ..core.discovery import DEFAULT_DELIMITERS
 from ..core.record import Record
 
-__all__ = ["discover", "discover_records_df", "uri_prefix_candidate_col"]
+__all__ = [
+    "discover",
+    "discover_from_triples",
+    "discover_records_df",
+    "uri_prefix_candidate_col",
+    "uris_from_triples",
+]
 
 #: unicode-ish alphanumeric, Java regex class (≈ Python str.isalnum)
 _ALNUM = r"[\p{L}\p{N}]+"
@@ -123,6 +129,44 @@ def discover_records_df(
             "n_luids",
         )
         .where(F.col("uri_prefix").isNotNull())
+    )
+
+
+#: URI-shaped part of a triple table — the string-table analogue of the
+#: reference's ``isinstance(part, rdflib.URIRef)`` check.
+_URI_SHAPED = r"^[A-Za-z][A-Za-z0-9+.\-]*://"
+
+
+def uris_from_triples(
+    df: DataFrame,
+    *,
+    columns: "Sequence[str]" = ("subject", "predicate", "object"),
+) -> DataFrame:
+    """Distinct URIs appearing in any position of a triple table — the
+    distributed twin of reference discovery.py:109-135
+    (``get_uris_from_rdf`` / ``_yield_uris``): every triple part that is
+    a URI (vs a literal/CURIE), deduplicated.
+
+    Plan: ``explode(array(s, p, o))`` → anchored-regex filter →
+    ``distinct`` — the only shuffle is the distinct on the (much smaller)
+    URI stream, hash-partitioned on the URI itself, so it scales
+    uniformly at any corpus size.
+    """
+    part = F.explode(F.array(*[F.col(c) for c in columns])).alias("uri")
+    return df.select(part).where(F.col("uri").rlike(_URI_SHAPED)).distinct()
+
+
+def discover_from_triples(
+    df: DataFrame,
+    *,
+    columns: "Sequence[str]" = ("subject", "predicate", "object"),
+    **kwargs,
+) -> DataFrame:
+    """Reference ``discover_from_rdf`` (discovery.py:76-106) with the URI
+    harvest distributed: URIs from all triple positions feed the
+    discovery aggregation."""
+    return discover_records_df(
+        uris_from_triples(df, columns=columns), "uri", **kwargs
     )
 
 

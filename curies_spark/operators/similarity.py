@@ -20,12 +20,16 @@ import struct
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "build_ann_index",
     "cosine_similarity_col",
     "cosine_topk",
     "embedding_near_dup_pairs",
     "hyperplanes",
     "lsh_signature_col",
     "lsh_topk",
+    "probe_ann_index",
+    "query_ann_index",
+    "query_signature",
 ]
 
 
@@ -132,6 +136,109 @@ def lsh_topk(
     return cosine_topk(candidates, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def query_signature(
+    query: "list[float]", planes: "list[list[float]]"
+) -> int:
+    """Driver-side LSH signature of a query vector (same bit order as
+    :func:`lsh_signature_col`)."""
+    q = _unit([float(x) for x in query])
+    sig = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) > 0:
+            sig |= 1 << i
+    return sig
+
+
+def _probe_set(q_sig: int, n_planes: int, multiprobe_bits: int) -> "set[int]":
+    probes = {q_sig}
+    if multiprobe_bits >= 1:
+        probes.update(q_sig ^ (1 << i) for i in range(n_planes))
+    if multiprobe_bits >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(q_sig ^ (1 << i) ^ (1 << j))
+    return probes
+
+
+def build_ann_index(
+    df: DataFrame,
+    index_path: str,
+    *,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize a persisted ANN index: one pass computes every row's
+    hyperplane signature, written ``partitionBy("sig")`` so each bucket
+    is its own partition directory.
+
+    This is the amortization :func:`lsh_topk` lacks — ``lsh_topk``
+    recomputes all N signatures per query (an O(N) scan every time);
+    querying the index reads ONLY the probed buckets, and the
+    ``sig = K`` filter is a *partition* filter (file pruning at the
+    source, no data read from other buckets — at 100 TB that is the
+    difference between touching ~2^-bits of the table and all of it).
+    """
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    signed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    # one shuffle by bucket so each partition directory is written by a
+    # single task (avoids 2^n_planes tiny files per input task)
+    signed.repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(
+        index_path
+    )
+
+
+def probe_ann_index(
+    spark,
+    index_path: str,
+    query: "list[float]",
+    *,
+    n_planes: int = 6,
+    multiprobe_bits: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Candidate rows for a query: read only the buckets within
+    ``multiprobe_bits`` bit flips of the query's signature. The
+    ``isin`` filter lands on the partition column, so Spark prunes
+    every other bucket's files at planning time (check
+    ``PartitionFilters`` in the scan node)."""
+    planes = hyperplanes(len(query), n_planes, seed=seed)
+    probes = _probe_set(query_signature(query, planes), n_planes, multiprobe_bits)
+    idx = spark.read.parquet(index_path)
+    return idx.filter(F.col("sig").isin(sorted(int(p) for p in probes)))
+
+
+def query_ann_index(
+    spark,
+    index_path: str,
+    query: "list[float]",
+    *,
+    k: int = 10,
+    n_planes: int = 6,
+    multiprobe_bits: int = 1,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over the probed buckets only — per-query cost is
+    O(N / 2^n_planes · |probes|) rows read instead of O(N)."""
+    candidates = probe_ann_index(
+        spark,
+        index_path,
+        query,
+        n_planes=n_planes,
+        multiprobe_bits=multiprobe_bits,
+        seed=seed,
+    )
+    return cosine_topk(candidates, query, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -144,9 +251,22 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate embedding pairs: bucket on the full signature (very
     similar vectors almost surely share all sign bits), verify with exact
-    cosine inside buckets."""
+    cosine inside buckets.
+
+    ``dim`` is required (pass it or carry it in schema metadata under key
+    ``"dim"``): inferring it with ``.first()`` would run a driver-side
+    job mid-plan-construction — a scan of a 100 TB table just to read one
+    array length.
+    """
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        meta = df.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+    if dim is None:
+        raise ValueError(
+            f"embedding_near_dup_pairs requires dim= (or {vec_col!r} schema "
+            "metadata key 'dim'); it is not inferred from data to avoid a "
+            "driver-side scan"
+        )
     planes = hyperplanes(dim, n_planes, seed=seed)
     sig = lsh_signature_col(F.col(vec_col), planes)
     tagged = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))

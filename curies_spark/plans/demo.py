@@ -109,6 +109,27 @@ TRIPLE_PREDICATE_EXPR = (
     "WHEN 1 THEN 'skos:closeMatch' ELSE 'rdfs:seeAlso' END"
 )
 
+#: RDF-style triples whose parts are full URIs (plus literal noise in the
+#: object slot) — the input for the distributed ``get_uris_from_rdf``
+#: twin. The three URI families exercise all three discovery delimiters:
+#: ``/`` (entity), ``#`` (skos/rdfs predicates), ``_`` (term_N objects).
+URI_TRIPLE_SUBJECT_EXPR = (
+    "concat('http://kg.example.org/entity/', CAST(o_orderkey % 40 AS BIGINT))"
+)
+URI_TRIPLE_PREDICATE_EXPR = (
+    "CASE o_orderkey % 3 "
+    "WHEN 0 THEN 'http://www.w3.org/2004/02/skos/core#exactMatch' "
+    "WHEN 1 THEN 'http://www.w3.org/2004/02/skos/core#closeMatch' "
+    "ELSE 'http://www.w3.org/2000/01/rdf-schema#seeAlso' END"
+)
+URI_TRIPLE_OBJECT_EXPR = (
+    "CASE o_orderkey % 5 "
+    "WHEN 0 THEN concat('http://vocab.example.org/term_', CAST(o_custkey % 30 AS BIGINT)) "
+    "WHEN 1 THEN concat('a plain literal ', CAST(o_orderkey AS BIGINT)) "
+    "ELSE concat('http://ont.example.org/x#', CAST(o_custkey % 20 AS BIGINT)) END"
+)
+
+
 #: Fully-expandable triples (all prefixes registered in the demo EPM) for
 #: the SHA-256 hash query — the reference hashes over *expanded* URIs
 #: (triples/hash_utils.py:86-115), so every prefix must resolve.
@@ -218,6 +239,32 @@ def oracle_preprocess_parse_sql(values_sql: str) -> str:
 # ---------------------------------------------------------------------------
 # oracle-side SQL generators (DuckDB dialect)
 # ---------------------------------------------------------------------------
+
+
+def oracle_discover_sql(
+    uris_sql: str, *, cutoff: int = 2, github_filter: bool = True
+) -> str:
+    """DuckDB replication of URI-prefix discovery (delimiter priority
+    ``# / _``, alnum LUID, distinct-LUID cutoff, lexicographic ``ns``
+    numbering) over any URI-producing subquery."""
+    gh = (
+        " AND NOT (starts_with(uri, 'https://github.com') AND strpos(uri, 'issues') > 0)"
+        if github_filter
+        else ""
+    )
+    return (
+        f"WITH uris AS (SELECT DISTINCT uri FROM ({uris_sql}) "
+        f"WHERE uri IS NOT NULL{gh}), "
+        "cand AS (SELECT uri, CASE "
+        "WHEN regexp_full_match(uri, '(.*#)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*#)[\\p{L}\\p{N}]+', 1) "
+        "WHEN regexp_full_match(uri, '(.*/)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*/)[\\p{L}\\p{N}]+', 1) "
+        "WHEN regexp_full_match(uri, '(.*_)[\\p{L}\\p{N}]+') THEN regexp_extract(uri, '(.*_)[\\p{L}\\p{N}]+', 1) "
+        "END AS uri_prefix FROM uris), "
+        "grouped AS (SELECT uri_prefix, count(DISTINCT substr(uri, length(uri_prefix) + 1)) AS n_luids "
+        f"FROM cand WHERE uri_prefix IS NOT NULL GROUP BY uri_prefix HAVING n_luids >= {cutoff}) "
+        "SELECT concat('ns', CAST(row_number() OVER (ORDER BY uri_prefix) AS VARCHAR)) AS prefix, "
+        "uri_prefix, n_luids FROM grouped"
+    )
 
 
 def _sql_quote(s: str) -> str:

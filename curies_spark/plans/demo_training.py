@@ -28,6 +28,9 @@ __all__ = [
     "oracle_fingerprint_sql",
     "oracle_ann_topk_sql",
     "oracle_ann_lsh_topk_sql",
+    "oracle_media_features_sql",
+    "oracle_simhash_sql",
+    "oracle_simhash_pairs_sql",
 ]
 
 #: multimodal rows derived from documents — typed metadata; the binary
@@ -131,6 +134,70 @@ def oracle_jaccard_pairs_sql(
         "FROM inter JOIN sizes sa ON sa.doc_id = id_a "
         "JOIN sizes sb ON sb.doc_id = id_b "
         f"WHERE i / (sa.sz + sb.sz - i) >= {threshold}"
+    )
+
+
+def _simhash_ctes(docs_sql: str) -> str:
+    """CTE chain ending in ``sig(doc_id, uh UBIGINT, simhash BIGINT)`` —
+    the exact SimHash of :func:`curies_spark.operators.dedup.simhash_col`:
+    token hash = first 8 bytes of sha256, per-bit majority vote, empty
+    docs → 0. ``uh`` keeps the unsigned form for band extraction; the
+    signed form reinterprets bit 63 as the sign (two's complement)."""
+    return (
+        f"WITH docs AS ({docs_sql}), "
+        f"tok AS (SELECT doc_id, {_tokens()} AS toks FROM docs), "
+        "tk AS (SELECT doc_id, unnest(toks) AS tok FROM tok), "
+        "hh AS (SELECT doc_id, ('0x' || substr(sha256(tok), 1, 16))::UBIGINT AS h FROM tk), "
+        "bits AS (SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE 0 END) AS ones, "
+        "count(*) AS n FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) "
+        "GROUP BY doc_id, b), "
+        "shu AS (SELECT doc_id, "
+        "sum(CASE WHEN 2 * ones - n > 0 THEN (1::UBIGINT << b)::HUGEINT ELSE 0 END) AS uh, "
+        "sum(CASE WHEN 2 * ones - n > 0 THEN "
+        "(CASE WHEN b = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << b) END) "
+        "ELSE 0 END) AS sh FROM bits GROUP BY doc_id), "
+        "sig AS (SELECT d.doc_id, coalesce(shu.uh, 0)::UBIGINT AS uh, "
+        "coalesce(shu.sh, 0)::BIGINT AS simhash FROM docs d LEFT JOIN shu USING (doc_id))"
+    )
+
+
+def oracle_simhash_sql(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """Per-document SimHash signature (signed 64-bit)."""
+    return f"{_simhash_ctes(docs_sql)} SELECT doc_id, simhash FROM sig"
+
+
+def oracle_simhash_pairs_sql(
+    docs_sql: str = NEAR_DUP_DOCS_SQL, *, max_hamming: int = 3, n_tables: int = 4
+) -> str:
+    """SimHash near-dup pairs: 16-bit rotated-band blocking + exact
+    hamming verify, mirroring
+    :func:`curies_spark.operators.dedup.simhash_candidate_pairs`."""
+    band_bits = 64 // n_tables
+    mask = (1 << band_bits) - 1
+    return (
+        f"{_simhash_ctes(docs_sql)}, "
+        f"banded AS (SELECT doc_id, uh, t AS band, (uh >> (t * {band_bits})) & {mask} AS key "
+        f"FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {n_tables - 1})) AS t)), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "bit_count(xor(a.uh, b.uh)) AS hamming "
+        "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"
+    )
+
+
+def oracle_media_features_sql(*, dim: int = 8) -> str:
+    """Quantized fake-decoder features: the deterministic fake decode is
+    ``sha256(payload).digest()[:dim] / 255``, and the Spark-side payload
+    is the utf-8 hex of ``sha256(media_id)`` — so byte i of
+    ``sha256(sha256(media_id))`` is the feature scaled back by 255."""
+    byte_exprs = ", ".join(
+        f"CAST(('0x' || substr(d2, {2 * i + 1}, 2))::INT AS VARCHAR)" for i in range(dim)
+    )
+    return (
+        f"WITH m AS ({MEDIA_SQL}), "
+        "p AS (SELECT media_id, sha256(sha256(CAST(media_id AS VARCHAR))) AS d2 FROM m) "
+        f"SELECT media_id, concat_ws(',', {byte_exprs}) AS feature_q FROM p"
     )
 
 

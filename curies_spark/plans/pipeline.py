@@ -13,12 +13,14 @@ materialization of a deduplicated (subject, predicate, object) graph:
 Scale design:
 - Everything is native Spark SQL (regexp / explode / broadcast maps);
   the only potential Python is the compress kernel's large-map path.
-- The job is **sharded and checkpoint-resumable**: each shard (a hash
-  slice of repos) writes its triples partition and a lineage manifest
-  (input rows, sha256 rollup, per-stage counts). On restart, shards
-  with manifests are skipped. On Iceberg at 10^12 files the shard
-  predicate aligns with partition pruning; on raw parquet it is a
-  predicate scan.
+- The job is **sharded and checkpoint-resumable**: a one-pass staging
+  write materializes the shard hash as a partition column
+  (``_staged/_shard=K/``), so the source is scanned ONCE for the whole
+  job and every shard read prunes to its own files; each shard then
+  writes its triples partition and a lineage manifest (input rows,
+  sha256 rollup, per-stage counts). On restart, shards with manifests
+  are skipped. On Iceberg at 10^12 files the staging pass is the
+  ``bucket(N, …)`` partition transform at ingest.
 - The per-row invariant ``sha2(content, 256)`` is rolled up per shard
   commutatively (sum of the first 15 hex digits as bigint) and can be
   re-validated against the source at any time.
@@ -182,12 +184,65 @@ def _shard_col(n_shards: int):
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")), F.lit(n_shards))
 
 
-def _run_shard(spark: SparkSession, repos: DataFrame, out: Path, bc, shard: int) -> dict:
+def _stage_shards(
+    spark: SparkSession, repos: DataFrame, out: Path, n_shards: int, *, resume: bool
+) -> str:
+    """Stage 0: ONE full pass over the source materializes the shard id
+    as a *partition* column (``{out}/_staged/_shard=K/``).
+
+    The shard id is ``pmod(xxhash64(repo, path, commit))`` — a computed
+    expression no format can push down, so filtering the raw source on it
+    would rescan all 100 TB once per shard (n_shards full scans). After
+    this single staging write, each shard's read is a partition-directory
+    prune: the source is scanned exactly once for the whole job. On
+    Iceberg the same effect comes from a ``bucket(N, repo)``-style
+    partition transform at ingest; partitioned parquet is this
+    container's stand-in (no Iceberg jars). The staged copy doubles
+    storage until the job finishes and can be dropped afterwards — it is
+    also what makes resume cheap (recomputed shards re-read only their
+    own files).
+    """
+    staged = out / "_staged"
+    marker = out / "_manifests" / "staged.json"
+    if resume and marker.exists():
+        recorded = json.loads(marker.read_text())
+        if recorded.get("n_shards") == n_shards:
+            return str(staged)
+    (
+        repos.withColumn("_shard", _shard_col(n_shards))
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .parquet(str(staged))
+    )
+    _atomic_write(marker, json.dumps({"n_shards": n_shards}))
+    return str(staged)
+
+
+def _atomic_write(path: Path, text: str) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(text)
+    tmp.replace(path)
+
+
+def _run_shard(
+    spark: SparkSession, staged_path: str, out: Path, bc, shard: int
+) -> dict:
     """One shard's map phase: stats → mentions → linking → file edges +
     entity side-output, finished by an atomic manifest write (the
-    checkpoint marker — a shard is done iff its manifest exists)."""
+    checkpoint marker — a shard is done iff its manifest exists).
+
+    The manifest is written HERE, inside the shard job, so when shards
+    run concurrently a failure in one never loses the checkpoints of
+    shards that already completed.
+    """
     t0 = time.perf_counter()
-    shard_df = repos.filter(F.col("_shard") == shard).drop("_shard")
+    # _shard is a partition column: this filter prunes to the shard's
+    # own files (PartitionFilters), reading 1/n_shards of the data
+    shard_df = (
+        spark.read.parquet(staged_path)
+        .filter(F.col("_shard") == shard)
+        .drop("_shard")
+    )
 
     stats_row = shard_df.select(
         F.count(F.lit(1)).alias("input_rows"),
@@ -213,7 +268,7 @@ def _run_shard(spark: SparkSession, repos: DataFrame, out: Path, bc, shard: int)
     n_triples = spark.read.parquet(str(out / "triples" / f"shard={shard}")).count()
     linked.unpersist()
 
-    return {
+    manifest = {
         "shard": shard,
         "input_rows": stats_row["input_rows"],
         "content_sha_rollup": str(stats_row["content_sha_rollup"] or 0),
@@ -222,6 +277,8 @@ def _run_shard(spark: SparkSession, repos: DataFrame, out: Path, bc, shard: int)
         "triples": n_triples,
         "wall_sec": round(time.perf_counter() - t0, 3),
     }
+    _atomic_write(out / "_manifests" / f"shard-{shard}.json", json.dumps(manifest))
+    return manifest
 
 
 def run_pipeline(
@@ -260,7 +317,6 @@ def run_pipeline(
     manifest_dir = out / "_manifests"
     manifest_dir.mkdir(parents=True, exist_ok=True)
 
-    repos = repos.withColumn("_shard", _shard_col(n_shards))
     metrics: list[dict] = []
     resumed = 0
     pending: list[int] = []
@@ -273,15 +329,16 @@ def run_pipeline(
             pending.append(shard)
 
     if pending:
+        staged_path = _stage_shards(spark, repos, out, n_shards, resume=resume)
         with ThreadPoolExecutor(max_workers=max(1, max_concurrent_shards)) as pool:
             futures = {
-                shard: pool.submit(_run_shard, spark, repos, out, bc, shard)
+                shard: pool.submit(_run_shard, spark, staged_path, out, bc, shard)
                 for shard in pending
             }
+            # each shard persists its own manifest on success; one
+            # failing shard therefore never discards finished ones
             for shard, future in futures.items():
-                manifest = future.result()
-                (manifest_dir / f"shard-{shard}.json").write_text(json.dumps(manifest))
-                metrics.append(manifest)
+                metrics.append(future.result())
     metrics.sort(key=lambda m: m["shard"])
 
     # merge phase: entity-scoped edges over the union of side outputs.

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import csv
 import json
+import re
 from pathlib import Path
 from typing import Any
 
@@ -21,6 +22,7 @@ from ..core.record import Record
 
 __all__ = [
     "file_convert_column",
+    "from_shacl",
     "load_extended_prefix_map",
     "load_jsonld_context",
     "load_prefix_map",
@@ -52,6 +54,48 @@ def load_extended_prefix_map(records: Any, **kwargs: Any) -> Converter:
 
 def load_jsonld_context(data: Any, **kwargs: Any) -> Converter:
     return Converter.from_jsonld(data, **kwargs)
+
+
+#: one ``sh:declare`` entry: prefix, namespace (optionally typed
+#: ``^^xsd:anyURI``), optional pattern (turtle-escaped string)
+_SHACL_DECLARE_RE = re.compile(
+    r'sh:prefix\s+"([^"]*)"\s*;\s*'
+    r'sh:namespace\s+"([^"]*)"(?:\^\^xsd:anyURI)?'
+    r'(?:\s*;\s*sh:pattern\s+"((?:[^"\\]|\\.)*)")?'
+)
+
+
+def from_shacl(source: "str | Path", **kwargs: Any) -> Converter:
+    """Read a converter from SHACL prefix declarations — the read side of
+    :func:`write_shacl` (reference ``Converter.from_shacl``,
+    api.py:1508-1545).
+
+    The reference runs a SPARQL query over an rdflib graph; rdflib is not
+    in this container, so this parses the ``sh:declare`` turtle shape the
+    ecosystem (and :func:`write_shacl`) emits: one
+    ``[ sh:prefix "…" ; sh:namespace "…"^^xsd:anyURI ; sh:pattern "…" ]``
+    bracket per record. Turtle string escaping of patterns
+    (``\\\\`` → ``\\``) is reversed, matching the writer.
+
+    ``source`` is a filesystem path or the turtle text itself.
+    """
+    text: str
+    if isinstance(source, Path):
+        text = source.read_text()
+    elif "\n" in source or "sh:prefix" in source:
+        text = source
+    else:
+        text = Path(source).read_text()
+    records = []
+    for prefix, uri_prefix, pattern in _SHACL_DECLARE_RE.findall(text):
+        records.append(
+            Record(
+                prefix=prefix,
+                uri_prefix=uri_prefix,
+                pattern=pattern.replace("\\\\", "\\") if pattern else None,
+            )
+        )
+    return Converter(records, **kwargs)
 
 
 # ---------------------------------------------------------------------------

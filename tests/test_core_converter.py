@@ -448,3 +448,73 @@ def test_doctests() -> None:
 
     results = doctest.testmod(converter_module)
     assert results.failed == 0 and results.attempted >= 8
+
+
+def test_shacl_round_trip(tmp_path) -> None:
+    """write_shacl → from_shacl reproduces (prefix, uri_prefix, pattern),
+    including turtle backslash escaping (reference api.py:1508-1545 +
+    api.py:3104-3162 semantics)."""
+    from curies_spark.core.record import Record
+    from curies_spark.sources.loaders import from_shacl, write_shacl
+
+    converter = Converter(
+        [
+            Record(prefix="CHEBI", uri_prefix=CHEBI_URI_PREFIX, pattern=r"^\d+$"),
+            Record(prefix="GO", uri_prefix=GO_URI_PREFIX),
+        ]
+    )
+    path = tmp_path / "prefixes.ttl"
+    write_shacl(converter, path)
+
+    back = from_shacl(path)
+    assert [(r.prefix, r.uri_prefix, r.pattern) for r in back.records] == [
+        ("CHEBI", CHEBI_URI_PREFIX, r"^\d+$"),
+        ("GO", GO_URI_PREFIX, None),
+    ]
+    assert back.compress(f"{CHEBI_URI_PREFIX}42") == "CHEBI:42"
+
+    # classmethod form + text form + synonym rows as extra records
+    write_shacl(converter, path, include_synonyms=True)
+    assert Converter.from_shacl(path.read_text()).get_prefixes() == {"CHEBI", "GO"}
+
+
+def test_url_loader_with_injected_fetcher() -> None:
+    """Remote-URL loader polymorphism without network: an injected
+    fetcher serves the JSON-LD context (reference api.py:826-844 +
+    from_jsonld_github api.py:1406-1438, incl. expanded-term handling)."""
+    import json as _json
+
+    from curies_spark.core.converter import set_url_fetcher
+
+    served: dict[str, str] = {}
+
+    def fake_fetcher(url: str) -> str:
+        served["url"] = url
+        return _json.dumps(
+            {
+                "@context": {
+                    "GO": GO_URI_PREFIX,
+                    "CHEBI": {"@prefix": True, "@id": CHEBI_URI_PREFIX},
+                    "ignored": {"@id": "https://example.com/noprefix/"},
+                }
+            }
+        )
+
+    previous = set_url_fetcher(fake_fetcher)
+    try:
+        converter = Converter.from_jsonld_github(
+            "biopragmatics", "bioregistry", "exports", "semweb.context.jsonld"
+        )
+        assert served["url"] == (
+            "https://raw.githubusercontent.com/biopragmatics/bioregistry/"
+            "main/exports/semweb.context.jsonld"
+        )
+        assert converter.get_prefixes() == {"GO", "CHEBI"}
+    finally:
+        set_url_fetcher(previous)
+
+    # without a fetcher, remote inputs fail loudly instead of hanging
+    with pytest.raises(ValueError, match="no URL fetcher"):
+        Converter.from_jsonld("https://example.com/ctx.jsonld")
+    with pytest.raises(ValueError, match="jsonld"):
+        Converter.from_jsonld_github("o", "r", "not-a-context.txt")

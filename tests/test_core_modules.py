@@ -335,9 +335,12 @@ def test_vocabulary_constants() -> None:
 
     assert v.exact_match.curie == "skos:exactMatch"
     assert v.owl_same_as.curie == "owl:sameAs"
-    assert v.rdf_type.prefix == "rdf" and v.rdf_type.name == "type"
+    assert v.same_as is v.owl_same_as  # reference name + engine alias
+    assert v.rdf_type.prefix == "rdf" and v.rdf_type.identifier == "type"
     assert v.exact_match in v.mapping_predicates
-    assert len(v.matching_processes) == 6
+    assert len(v.matching_processes) == 12
+    assert len(v.match_typedefs) == 15
+    assert v.inversions[v.part_of] == v.has_part
     # NamedReference is hashable + ordered like Reference
     assert len({v.exact_match, v.close_match, v.exact_match}) == 2
     assert sorted([v.close_match, v.broad_match])[0].identifier == "broadMatch"

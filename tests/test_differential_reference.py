@@ -171,3 +171,46 @@ def test_pipeline_triples_pr_vs_reference(spark, corpus, ref_converter):
     precision, recall = _pr(ours, theirs)
     assert precision >= 0.95 and recall >= 0.95, (precision, recall)
     assert ours == theirs  # stronger: exact
+
+
+def test_vocabulary_parity_with_reference():
+    """Every public NamedReference constant (and collection) of the
+    reference's curies.vocabulary exists here under the same name with
+    equal (prefix, identifier) — reference vocabulary.py:15-384."""
+    import curies.vocabulary as ref_v
+
+    from curies_spark.core import vocabulary as our_v
+
+    ref_named = {
+        name: val
+        for name, val in vars(ref_v).items()
+        if not name.startswith("_") and isinstance(val, ref.NamedReference)
+    }
+    assert len(ref_named) >= 90
+    missing, mismatched = [], []
+    for name, rv in ref_named.items():
+        ov = getattr(our_v, name, None)
+        if ov is None:
+            missing.append(name)
+        elif (ov.prefix, ov.identifier) != (rv.prefix, rv.identifier):
+            mismatched.append((name, ov.curie, rv.curie))
+    assert not missing, f"missing constants: {missing}"
+    assert not mismatched, f"pair mismatches: {mismatched}"
+
+    # collections agree as (prefix, identifier) sets/sequences
+    def pairs(c):
+        return [(r.prefix, r.identifier) for r in c]
+
+    assert set(pairs(our_v.matching_processes)) == set(pairs(ref_v.matching_processes))
+    assert set(pairs(our_v.synonym_types)) == set(pairs(ref_v.synonym_types))
+    assert pairs(our_v.match_typedefs) == pairs(ref_v.match_typedefs)
+    assert pairs(our_v.extended_match_typedefs) == pairs(ref_v.extended_match_typedefs)
+    assert set(our_v.synonym_scopes) == set(ref_v.synonym_scopes)
+    assert our_v.synonym_scope_to_oio == ref_v.synonym_scope_to_oio
+    assert {
+        (k.prefix, k.identifier): (v.prefix, v.identifier)
+        for k, v in our_v.inversions.items()
+    } == {
+        (k.prefix, k.identifier): (v.prefix, v.identifier)
+        for k, v in ref_v.inversions.items()
+    }

@@ -117,8 +117,14 @@ def test_embedding_near_dup(spark):
         Row(vec_id=2, embedding=[0.0, 1.0]),
     ]
     df = spark.createDataFrame(rows)
-    pairs = S.embedding_near_dup_pairs(df, threshold=0.99, n_planes=8).collect()
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.99, n_planes=8, dim=2).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_embedding_near_dup_requires_dim(spark):
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0])])
+    with pytest.raises(ValueError, match="dim"):
+        S.embedding_near_dup_pairs(df, threshold=0.99)
 
 
 def test_text_analysis(spark, docs):
@@ -198,3 +204,61 @@ def test_salted_count_distinct(spark, docs):
         .collect()
     }
     assert got == want
+
+
+def test_simhash_vote_sign(spark):
+    """Regression: uint64 vote sums must not wrap — a doc where most bits
+    lose the majority vote must produce a sparse signature, not ~all-ones.
+    (sha256-derived reference value computed independently.)"""
+    import hashlib
+
+    df = spark.createDataFrame([Row(doc_id=1, text="Hello world hello")])
+    got = df.select(D.simhash_col("text").alias("s")).collect()[0]["s"]
+
+    tokens = "hello world hello".split()
+    hashes = [
+        int.from_bytes(hashlib.sha256(t.encode()).digest()[:8], "big") for t in tokens
+    ]
+    expected = 0
+    for b in range(64):
+        ones = sum((h >> b) & 1 for h in hashes)
+        if 2 * ones - len(tokens) > 0:
+            expected |= 1 << b
+    if expected >= 1 << 63:
+        expected -= 1 << 64
+    assert got == expected
+    # the broken form set nearly every bit; the real one is ~balanced
+    assert 16 <= bin(got & ((1 << 64) - 1)).count("1") <= 48
+
+
+def test_ann_index_roundtrip_and_pruning(spark, tmp_path):
+    import math
+
+    rows = []
+    for i in range(120):
+        angle = i * 2 * math.pi / 120  # full circle → many distinct buckets
+        rows.append(Row(vec_id=i, embedding=[math.cos(angle), math.sin(angle), 0.0]))
+    df = spark.createDataFrame(rows)
+    query = [1.0, 0.0, 0.0]
+    path = str(tmp_path / "ann_index")
+    S.build_ann_index(df, path, dim=3, n_planes=6, seed=7)
+
+    # same candidate set ⇒ same answer as the on-the-fly LSH probe
+    idx_top = [
+        r["vec_id"]
+        for r in S.query_ann_index(spark, path, query, k=5, n_planes=6).collect()
+    ]
+    fly_top = [
+        r["vec_id"] for r in S.lsh_topk(df, query, k=5, n_planes=6).collect()
+    ]
+    assert idx_top == fly_top
+
+    # the probe plan prunes non-matching buckets at the source: the sig
+    # filter lands in PartitionFilters (file pruning), and the probed
+    # bucket count is strictly below the index's bucket count
+    cand = S.probe_ann_index(spark, path, query, n_planes=6)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [sig" in plan.replace("PartitionFilters: [(sig", "PartitionFilters: [sig")
+    n_buckets = spark.read.parquet(path).select("sig").distinct().count()
+    n_probed = cand.select("sig").distinct().count()
+    assert 0 < n_probed <= 7 < n_buckets  # q_sig + 6 single-bit flips

@@ -217,3 +217,25 @@ def test_df_index_ops(spark):
         for r in get_df_curies_index(df, "curie", id_col="rid").collect()
     }
     assert by_curie == {"CHEBI:1": [1, 4], "CHEBI:2": [2], "GO:1": [3]}
+
+
+def test_uris_from_triples(spark):
+    from curies_spark.operators.discovery import uris_from_triples
+
+    df = spark.createDataFrame(
+        [
+            ("http://a.org/e/1", "http://w3.org/skos#exactMatch", "a literal"),
+            ("http://a.org/e/1", "http://w3.org/skos#exactMatch", "http://b.org/t_7"),
+            ("CHEBI:42", "rdfs:seeAlso", "ftp://files.example.org/x"),
+        ],
+        ["subject", "predicate", "object"],
+    )
+    got = sorted(r["uri"] for r in uris_from_triples(df).collect())
+    # URI-shaped parts from every position, deduplicated; CURIEs and
+    # literals excluded — the isinstance(URIRef) analogue
+    assert got == [
+        "ftp://files.example.org/x",
+        "http://a.org/e/1",
+        "http://b.org/t_7",
+        "http://w3.org/skos#exactMatch",
+    ]
