@@ -53,6 +53,9 @@ def _build_spark(cpus: str):
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 64k Arrow batches: framing overhead of the 10k default costs
+        # ~50% on arrow_udf paths (see BENCH/round2_large_epm.json)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .getOrCreate()
     )
 

@@ -255,12 +255,13 @@ def expand_all_col(curie: "Column | str", converter) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _native_compress_pair(conv: Converter, uri: Column) -> "tuple[Column, Column]":
-    """(prefix, identifier) via an ordered when-chain over all URI prefixes,
-    longest first — preserves the trie's longest-match guarantee."""
-    entries = sorted(
-        conv.reverse_prefix_map.items(), key=lambda kv: len(kv[0]), reverse=True
-    )
+def _native_pair_from_map(
+    mapping: "dict[str, str]", uri: Column
+) -> "tuple[Column, Column]":
+    """(prefix, identifier) via an ordered when-chain over the given
+    ``uri_prefix → prefix`` mapping, longest first — preserves the
+    trie's longest-match guarantee within the mapping."""
+    entries = sorted(mapping.items(), key=lambda kv: len(kv[0]), reverse=True)
     prefix_expr: Column = F.lit(None).cast(StringType())
     ident_expr: Column = F.lit(None).cast(StringType())
     # build the chain from the shortest up so the longest ends up outermost
@@ -271,6 +272,16 @@ def _native_compress_pair(conv: Converter, uri: Column) -> "tuple[Column, Column
             ident_expr
         )
     return prefix_expr, ident_expr
+
+
+def _native_compress_pair(conv: Converter, uri: Column) -> "tuple[Column, Column]":
+    # NOTE a "hybrid" (JVM when-chain over the hot prefixes + Arrow
+    # fallback for the tail) was measured and REJECTED: a 64-entry
+    # codegen'd startsWith chain runs at ~260k rows/s on this host —
+    # 3× slower than shipping every row through the Arrow kernel
+    # (~800k rows/s at 3 partitions). Long when-chains are the slow
+    # path; that is exactly why NATIVE_COMPRESS_THRESHOLD exists.
+    return _native_pair_from_map(conv.reverse_prefix_map, uri)
 
 
 def _build_arrow_buckets(mapping: "dict[str, str]"):

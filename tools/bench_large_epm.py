@@ -30,6 +30,9 @@ def main() -> None:
         .appName("bench-large-epm")
         .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 10k-row default batches spend more time in Arrow framing than
+        # in the kernel; 64k batches measured +50% on this path
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
         .getOrCreate()
@@ -42,9 +45,14 @@ def main() -> None:
     assert len(large_converter().reverse_prefix_map) > kernels.NATIVE_COMPRESS_THRESHOLD
 
     sc = SparkConverter(spark, large_converter())
+    # repartition to the core count: the sf0.1 parquet is 3 files, which
+    # would starve the measurement to 3 tasks — a real corpus at scale
+    # has ≫ cores partitions via maxPartitionBytes, so this models the
+    # deployed shape, not a tuning trick
     uris = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .selectExpr(f"{URI_LARGE_EXPR} AS uri")
+        .repartition(int(cpus))
         .cache()
     )
     n = uris.count()
