@@ -1,0 +1,170 @@
+"""Persisted ANN index: probe cost vs full scan, with recall.
+
+Builds the signature-partitioned index (operators.similarity.
+build_ann_index) over a deterministic 256x expansion of the sf0.1
+embeddings table (512k vectors, dim 64), then measures per-query:
+
+- bytes actually scanned by an index probe (SQL metric `size of files
+  read`) vs by the brute-force full scan — the partition-pruning win
+  the index exists for;
+- wall per query for both paths;
+- recall@k of the probed top-k against the exact top-k.
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+INDEX = "/tmp/curies_spark_ann_index"
+K = 10
+N_PLANES = 8
+REPLICAS = 256
+QUERIES = 5
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench-ann")
+        .config("spark.sql.shuffle.partitions", str(int(cpus) * 2))
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "true")
+        .getOrCreate()
+    )
+
+    from curies_spark.operators.similarity import (
+        build_ann_index,
+        cosine_topk,
+        query_ann_index,
+    )
+
+    def scanned_bytes() -> int:
+        units = {"B": 1, "KiB": 1024, "MiB": 1024**2, "GiB": 1024**3}
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = (
+            f"{base}/api/v1/applications/{app}/sql"
+            "?details=true&planDescription=false&offset=0&length=100000"
+        )
+        with urllib.request.urlopen(url) as r:
+            execs = json.load(r)
+        total = 0
+        for e in execs:
+            for node in e.get("nodes", []):
+                for m in node.get("metrics", []):
+                    if m["name"] == "size of files read":
+                        parts = m["value"].replace("(", " ").replace(",", " ").split()
+                        for i, tok in enumerate(parts):
+                            if tok in units and i > 0:
+                                total += int(float(parts[i - 1]) * units[tok])
+                                break
+        return total
+
+    # deterministic 256x expansion: replica r of vector v adds a
+    # hash-derived uniform jitter in [-0.05, 0.05] per element (the base
+    # vectors are unit-norm with element std 0.125, so jitter is ~20% of
+    # signal) — preserves the corpus's cluster structure, the regime LSH
+    # is built for, while replicas still spread within nearby buckets
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = 64
+    expanded = (
+        base.crossJoin(spark.range(REPLICAS).withColumnRenamed("id", "r"))
+        .select(
+            (F.col("vec_id") * REPLICAS + F.col("r")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + 0.1
+                * (
+                    F.pmod(F.xxhash64(F.col("vec_id"), F.col("r"), i), F.lit(100000))
+                    / 100000.0
+                )
+                - 0.05,
+            ).alias("embedding"),
+        )
+    )
+    corpus_path = "/tmp/curies_spark_ann_corpus"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        expanded.write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    n = corpus.count()
+
+    shutil.rmtree(INDEX, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_ann_index(corpus, INDEX, dim=dim, n_planes=N_PLANES)
+    build_wall = time.perf_counter() - t0
+
+    queries = [r["embedding"] for r in base.limit(QUERIES).collect()]
+
+    # exact baselines (per-query full scan)
+    scan_bytes = 0
+    scan_wall = 0.0
+    exacts = []
+    for q in queries:
+        b0 = scanned_bytes()
+        t0 = time.perf_counter()
+        exacts.append({r["vec_id"] for r in cosine_topk(corpus, q, k=K).collect()})
+        scan_wall += time.perf_counter() - t0
+        scan_bytes += scanned_bytes() - b0
+
+    # probed top-k at increasing multiprobe radius: read fraction vs recall
+    probes = {}
+    for mp in (1, 2):
+        probe_bytes = 0
+        probe_wall = 0.0
+        recall_sum = 0.0
+        for q, exact in zip(queries, exacts):
+            b0 = scanned_bytes()
+            t0 = time.perf_counter()
+            ann = {
+                r["vec_id"]
+                for r in query_ann_index(
+                    spark, INDEX, q, k=K, n_planes=N_PLANES, multiprobe_bits=mp
+                ).collect()
+            }
+            probe_wall += time.perf_counter() - t0
+            probe_bytes += scanned_bytes() - b0
+            recall_sum += len(ann & exact) / K
+        probes[f"multiprobe_{mp}"] = {
+            "probe_bytes_per_query": probe_bytes // QUERIES,
+            "probe_read_fraction": round(probe_bytes / max(scan_bytes, 1), 4),
+            "probe_wall_per_query_sec": round(probe_wall / QUERIES, 3),
+            "recall_at_k": round(recall_sum / QUERIES, 3),
+        }
+
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "ann_index_probe_vs_scan",
+                "rows": n,
+                "dim": dim,
+                "n_planes": N_PLANES,
+                "buckets": 2**N_PLANES,
+                "queries": QUERIES,
+                "k": K,
+                "index_build_wall_sec": round(build_wall, 2),
+                "full_scan_bytes_per_query": scan_bytes // QUERIES,
+                "full_scan_wall_per_query_sec": round(scan_wall / QUERIES, 3),
+                **probes,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
