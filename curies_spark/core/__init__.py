@@ -26,7 +26,14 @@ from .preprocessing import (
     PreprocessingRules,
 )
 from .reconciliation import remap_curie_prefixes, remap_uri_prefixes, rewire
-from .record import NamedReference, Record, Reference, ReferenceTuple
+from .record import (
+    NamableReference,
+    NamedReference,
+    Record,
+    Reference,
+    ReferenceTuple,
+    Triple,
+)
 from .trie import PrefixTrie
 from .w3c import is_w3c_curie, is_w3c_prefix
 
@@ -41,8 +48,10 @@ __all__ = [
     "DuplicateValueError",
     "ExpansionError",
     "IdentifierStandardizationError",
+    "NamableReference",
     "NamedReference",
     "NoCURIEDelimiterError",
+    "Triple",
     "PrefixStandardizationError",
     "PrefixTrie",
     "PreprocessingBlocklists",

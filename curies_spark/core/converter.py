@@ -452,6 +452,29 @@ class Converter:
 
         return from_shacl(source, **kwargs)
 
+    @classmethod
+    def from_rdflib(cls, graph_or_manager: Any, **kwargs: Any) -> "Converter":
+        """Converter from an rdflib graph or namespace manager — anything
+        exposing ``namespaces()`` yielding (prefix, namespace) pairs
+        (reference api.py:1441-1473). Namespaces are stringified, since
+        rdflib yields URIRef objects."""
+        namespaces = getattr(graph_or_manager, "namespaces", None)
+        if namespaces is None:  # a Graph wraps its manager
+            namespaces = graph_or_manager.namespace_manager.namespaces
+        prefix_map = {prefix: str(namespace) for prefix, namespace in namespaces()}
+        return cls.from_prefix_map(prefix_map, **kwargs)
+
+    def bind_rdflib(self, graph_or_manager: Any, synonyms: bool = False) -> None:
+        """Bind this converter's prefix map into an rdflib graph or
+        namespace manager via its ``bind(prefix, namespace)``
+        (reference api.py:1475-1506). Namespaces are bound as plain
+        strings — rdflib coerces them to ``Namespace`` internally."""
+        for record in self.records:
+            graph_or_manager.bind(record.prefix, record.uri_prefix)
+            if synonyms:
+                for synonym in record.prefix_synonyms:
+                    graph_or_manager.bind(synonym, record.uri_prefix)
+
     # ------------------------------------------------------------------
     # derived maps (reference api.py:923-959)
     # ------------------------------------------------------------------

@@ -12,16 +12,96 @@ The distributed DataFrame twin lives in
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
-from typing import Iterable, Mapping, Sequence
+from pathlib import Path
+from typing import Any, Iterable, Mapping, Sequence
 
 from .converter import Converter
 from .record import Record
 
-__all__ = ["DEFAULT_DELIMITERS", "discover"]
+__all__ = [
+    "DEFAULT_DELIMITERS",
+    "discover",
+    "discover_from_rdf",
+    "get_uris_from_rdf",
+]
 
 #: Reference discovery.py:230
 DEFAULT_DELIMITERS = ("#", "/", "_")
+
+#: absolute-URI shape for duck-typed graph parts (real rdflib nodes are
+#: classified by type instead, matching reference discovery.py:129-135)
+_ABSOLUTE_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://\S+$")
+
+#: ``<uri>`` tokens of an N-Triples/Turtle-ish document
+_ANGLE_URI_RE = re.compile(r"<([^<>\s]+)>")
+
+
+def _is_uri_part(part: Any) -> bool:
+    """True for graph nodes that are URI references.
+
+    With rdflib importable this is the reference's
+    ``isinstance(part, rdflib.URIRef)`` (discovery.py:129-135); for
+    duck-typed graphs (tests, other RDF libraries) a node whose class is
+    not literal/bnode-like and whose string form is an absolute URI
+    counts.
+    """
+    try:
+        import rdflib
+
+        return isinstance(part, rdflib.URIRef)
+    except ImportError:
+        cls = type(part).__name__
+        if cls in ("Literal", "BNode"):
+            return False
+        return bool(_ABSOLUTE_URI_RE.match(str(part)))
+
+
+def get_uris_from_rdf(graph: Any, *, format: "str | None" = None) -> "set[str]":
+    """Set of URIs appearing in any triple position of an RDF graph
+    (reference discovery.py:108-135).
+
+    ``graph`` is either a graph object exposing
+    ``triples((None, None, None))`` (rdflib or duck-typed), or — when
+    rdflib is importable — any source its ``Graph.parse`` accepts. As an
+    rdflib-free fallback, a path to (or text of) an N-Triples document is
+    parsed directly: ``<uri>`` tokens are exactly its URI references.
+    """
+    if hasattr(graph, "triples"):
+        return {
+            str(part)
+            for parts in graph.triples((None, None, None))
+            for part in parts
+            if _is_uri_part(part)
+        }
+    try:
+        import rdflib
+
+        g = rdflib.Graph()
+        g.parse(source=graph, format=format)
+        return get_uris_from_rdf(g)
+    except ImportError:
+        pass
+    if isinstance(graph, Path):
+        text = graph.read_text()
+    elif isinstance(graph, str) and "\n" not in graph and "<" not in graph:
+        text = Path(graph).read_text()
+    elif isinstance(graph, str):
+        text = graph
+    else:  # IO-like
+        text = graph.read()
+        if isinstance(text, bytes):
+            text = text.decode()
+    return set(_ANGLE_URI_RE.findall(text))
+
+
+def discover_from_rdf(graph: Any, *, format: "str | None" = None, **kwargs: Any) -> Converter:
+    """:func:`discover` with the URI list harvested from an RDF graph
+    (reference discovery.py:76-105). The distributed twin over triple
+    DataFrames is :func:`curies_spark.operators.discovery.
+    discover_from_triples`."""
+    return discover(get_uris_from_rdf(graph, format=format), **kwargs)
 
 
 def _get_uri_prefix_to_luids(

@@ -15,12 +15,26 @@ from dataclasses import dataclass, field
 from typing import Any, Iterable, NamedTuple
 
 __all__ = [
+    "NamableReference",
+    "NamedReference",
+    "Prefix",
+    "PrefixMap",
     "Record",
+    "Records",
     "Reference",
     "ReferenceTuple",
+    "Triple",
     "records_from_dicts",
     "records_to_dicts",
 ]
+
+#: A CURIE prefix (the reference wraps these in pydantic string types for
+#: validation, api.py:177-338; structural validation here happens in the
+#: Converter/loader layer instead).
+Prefix = str
+
+#: ``prefix → uri_prefix`` mapping (reference api.py:339-384 ``PrefixMap``).
+PrefixMap = dict  # dict[str, str]
 
 
 class ReferenceTuple(NamedTuple):
@@ -72,14 +86,30 @@ class Reference:
 
 
 @dataclass(frozen=True, order=True)
-class NamedReference(Reference):
+class NamableReference(Reference):
+    """A reference, maybe with a name (reference api.py:524-599)."""
+
+    name: "str | None" = None
+
+    @classmethod
+    def from_curie(  # type: ignore[override]
+        cls, curie: str, name: "str | None" = None, *, sep: str = ":"
+    ) -> "NamableReference":
+        prefix, _, identifier = curie.partition(sep)
+        return cls(prefix, identifier, name)
+
+
+@dataclass(frozen=True, order=True)
+class NamedReference(NamableReference):
     """A reference with a required human-readable label
     (reference api.py:601-653 ``NamedReference``)."""
 
     name: str = ""
 
     @classmethod
-    def from_curie(cls, curie: str, name: str = "", *, sep: str = ":") -> "NamedReference":
+    def from_curie(  # type: ignore[override]
+        cls, curie: str, name: str = "", *, sep: str = ":"
+    ) -> "NamedReference":
         prefix, _, identifier = curie.partition(sep)
         return cls(prefix, identifier, name)
 
@@ -170,3 +200,65 @@ def records_from_dicts(dicts: Iterable["dict[str, Any] | Record"]) -> list[Recor
 
 def records_to_dicts(records: Iterable[Record]) -> list[dict[str, Any]]:
     return [r.to_dict() for r in records]
+
+
+#: A list of extended-prefix-map records (reference api.py:732-760 wraps
+#: this in a pydantic root model for (de)serialization; plain list here).
+Records = list
+
+
+def _as_reference(value: "str | Reference") -> Reference:
+    return Reference.from_curie(value) if isinstance(value, str) else value
+
+
+@dataclass(frozen=True)
+class Triple:
+    """A driver-side (subject, predicate, object) triple of references
+    (reference triples/model.py:29-111).
+
+    Accepts CURIE strings or :class:`Reference` objects for each slot.
+    The engine's data-scale triple representation is the 3-string-column
+    DataFrame (see :mod:`curies_spark.operators.triples`); this class is
+    the record-scale counterpart for driver code and tests.
+    """
+
+    subject: Reference
+    predicate: Reference
+    object: Reference
+
+    def __post_init__(self) -> None:
+        for slot in ("subject", "predicate", "object"):
+            object.__setattr__(self, slot, _as_reference(getattr(self, slot)))
+
+    def as_str_triple(self) -> "tuple[str, str, str]":
+        return (self.subject.curie, self.predicate.curie, self.object.curie)
+
+    def as_uri_triple(self, converter: Any) -> "tuple[str, str, str]":
+        return (
+            converter.expand_reference(self.subject, strict=True),
+            converter.expand_reference(self.predicate, strict=True),
+            converter.expand_reference(self.object, strict=True),
+        )
+
+    def __lt__(self, other: "Triple") -> bool:
+        return self.as_str_triple() < other.as_str_triple()
+
+    @classmethod
+    def from_curies(
+        cls, subject_curie: str, predicate_curie: str, object_curie: str
+    ) -> "Triple":
+        return cls(
+            Reference.from_curie(subject_curie),
+            Reference.from_curie(predicate_curie),
+            Reference.from_curie(object_curie),
+        )
+
+    @classmethod
+    def from_uris(
+        cls, subject: str, predicate: str, object: str, *, converter: Any
+    ) -> "Triple":
+        return cls(
+            Reference.from_reference(converter.parse_uri(subject, strict=True)),
+            Reference.from_reference(converter.parse_uri(predicate, strict=True)),
+            Reference.from_reference(converter.parse_uri(object, strict=True)),
+        )

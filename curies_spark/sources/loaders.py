@@ -26,6 +26,7 @@ __all__ = [
     "load_extended_prefix_map",
     "load_jsonld_context",
     "load_prefix_map",
+    "load_shacl",
     "read_triples",
     "read_triples_parquet",
     "write_extended_prefix_map",
@@ -96,6 +97,12 @@ def from_shacl(source: "str | Path", **kwargs: Any) -> Converter:
             )
         )
     return Converter(records, **kwargs)
+
+
+def load_shacl(source: "str | Path", **kwargs: Any) -> Converter:
+    """Module-level alias of :func:`from_shacl` (name parity with the
+    reference's ``curies.load_shacl``, api.py:2940-2968)."""
+    return from_shacl(source, **kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -4,6 +4,7 @@ from .ingest import (
     REPO_SCHEMA,
     read_repo_stream,
     start_triples_stream,
+    stream_discover_prefixes,
     stream_file_edges,
     stream_prefix_counts,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "REPO_SCHEMA",
     "read_repo_stream",
     "start_triples_stream",
+    "stream_discover_prefixes",
     "stream_file_edges",
     "stream_prefix_counts",
 ]

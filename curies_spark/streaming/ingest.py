@@ -35,7 +35,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from pyspark.sql import functions as F
 
@@ -44,6 +51,7 @@ from ..plans.pipeline import file_edges_raw, extract_mentions, link_mentions
 __all__ = [
     "REPO_SCHEMA",
     "read_repo_stream",
+    "stream_discover_prefixes",
     "stream_file_edges",
     "stream_prefix_counts",
     "start_triples_stream",
@@ -119,6 +127,93 @@ def stream_prefix_counts(
             curie_prefix("entity").alias("prefix"),
         )
         .agg(F.count(F.lit(1)).alias("n_linked"))
+    )
+
+
+def stream_discover_prefixes(
+    uris: DataFrame,
+    *,
+    cutoff: int = 30,
+    delimiters: "tuple[str, ...] | None" = None,
+    uri_col: str = "uri",
+) -> DataFrame:
+    """Streaming URI-prefix discovery: custom stateful operator via
+    ``applyInPandasWithState``.
+
+    The batch form (reference discovery.py:138-228 /
+    :func:`curies_spark.operators.discovery.discover_records_df`) counts
+    distinct LUIDs per candidate URI prefix and keeps prefixes with
+    ≥ ``cutoff``. On an unbounded stream that distinct count needs
+    cross-batch state, and Spark has no built-in
+    emit-once-on-threshold distinct-count operator — exactly the case
+    for a custom stateful op.
+
+    **State is bounded by construction**: per candidate prefix we keep
+    at most ``cutoff`` LUIDs (we only need to detect the threshold
+    crossing, not the exact count beyond it), and once a prefix is
+    emitted its LUID set is dropped — surviving state is a 1-bit
+    "emitted" marker. A Zipfian URI distribution therefore costs
+    O(#prefixes · cutoff) state total, independent of stream length.
+
+    Emits each discovered prefix exactly once, in the micro-batch where
+    its distinct-LUID count first reaches ``cutoff``. The candidate
+    split reuses the batch operator's delimiter-priority logic, JVM-side,
+    so Python sees only (prefix, luid) pairs.
+    """
+    from ..operators.discovery import uri_prefix_candidate_col
+
+    candidate = uri_prefix_candidate_col(uri_col, delimiters=delimiters)
+    pairs = (
+        uris.select(candidate.alias("uri_prefix"), F.col(uri_col).alias("uri"))
+        .where(F.col("uri_prefix").isNotNull())
+        .selectExpr("uri_prefix", "substring(uri, length(uri_prefix) + 1) AS luid")
+    )
+
+    output_schema = StructType(
+        [
+            StructField("uri_prefix", StringType()),
+            StructField("n_luids", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("luids", ArrayType(StringType())),
+            StructField("emitted", BooleanType()),
+        ]
+    )
+
+    def detect(key, pdfs, state):
+        if state.exists:
+            (luids, was_emitted) = state.get
+            seen = set(luids or ())
+        else:
+            seen, was_emitted = set(), False
+        emitted = was_emitted
+        for pdf in pdfs:  # always drain the iterator (API contract)
+            if emitted:
+                continue
+            for luid in pdf["luid"]:
+                seen.add(luid)
+                if len(seen) >= cutoff:
+                    emitted = True
+                    break
+        if emitted:
+            state.update(([], True))
+            if not was_emitted:  # first crossing: emit exactly once
+                import pandas as pd
+
+                yield pd.DataFrame({"uri_prefix": [key[0]], "n_luids": [cutoff]})
+        else:
+            state.update((sorted(seen), False))
+
+    # append output mode: every emitted row is final (a prefix is emitted
+    # exactly once), which also permits file sinks downstream
+    return pairs.groupBy("uri_prefix").applyInPandasWithState(
+        detect,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
 
 

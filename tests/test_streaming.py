@@ -65,6 +65,62 @@ def test_stream_plan_is_pure_jvm(spark, tmp_path):
     assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_stream_discover_prefixes_stateful(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): per-prefix
+    distinct-LUID counting with bounded state, emitting each prefix
+    exactly once when it crosses the cutoff — including a crossing whose
+    LUIDs span micro-batches/runs (state must survive the checkpoint)."""
+    from curies_spark.streaming import read_repo_stream, stream_discover_prefixes
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    def uris_df(values):
+        return spark.createDataFrame([(v,) for v in values], ["content"])
+
+    # batch 1: prefix A has 2 distinct LUIDs (below cutoff 3), B has 3
+    batch1 = [
+        "http://a.org/x/1",
+        "http://a.org/x/2",
+        "http://a.org/x/2",  # duplicate LUID must not count twice
+        "http://b.org/y/1",
+        "http://b.org/y/2",
+        "http://b.org/y/3",
+    ]
+    uris_df(batch1).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema("content string").parquet(src)
+            .withColumnRenamed("content", "uri")
+        )
+        q = (
+            stream_discover_prefixes(stream, cutoff=3)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _wait(q)
+
+    run()
+    got1 = {r["uri_prefix"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"http://b.org/y/"}
+
+    # batch 2: one NEW luid for A -> crosses cutoff using cross-run state;
+    # more B rows must NOT re-emit B (its state is a 1-bit marker now)
+    batch2 = ["http://a.org/x/3", "http://b.org/y/4", "http://b.org/y/5"]
+    uris_df(batch2).coalesce(1).write.mode("append").parquet(src)
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert {r["uri_prefix"] for r in rows} == {"http://a.org/x/", "http://b.org/y/"}
+    assert len(rows) == 2  # exactly-once emission per prefix
+    assert all(r["n_luids"] == 3 for r in rows)
+
+
 def test_stream_prefix_counts_windowed(spark, tmp_path):
     """Watermarked tumbling-window rollup: summed window counts equal the
     batch per-prefix linked-entity counts."""
