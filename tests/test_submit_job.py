@@ -51,6 +51,22 @@ def _submit(zpath: Path, out: Path, *extra: str) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+def test_python_dash_m_entrypoint_help():
+    """`python -m curies_spark` is the job CLI (reference __main__.py
+    parity); --help must work without touching Spark."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "curies_spark", "--help"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert proc.returncode == 0
+    assert "KG construction" in proc.stdout
+
+
 def test_spark_submit_pyfiles_and_resume(tmp_path):
     zpath = _zip_package(tmp_path)
     out = tmp_path / "kg"
