@@ -262,3 +262,59 @@ def test_ann_index_roundtrip_and_pruning(spark, tmp_path):
     n_buckets = spark.read.parquet(path).select("sig").distinct().count()
     n_probed = cand.select("sig").distinct().count()
     assert 0 < n_probed <= 7 < n_buckets  # q_sig + 6 single-bit flips
+
+
+def test_ivf_index_clusters_prune_and_rank(spark, tmp_path):
+    """IVF: deterministic k-means finds the planted clusters; a probe
+    reads only nprobe cells (partition pruning) and returns the exact
+    top-k within them."""
+    import math
+
+    rows = []
+    # 4 well-separated planted clusters of 30 vectors each
+    centers = [(10.0, 0.0), (-10.0, 0.0), (0.0, 10.0), (0.0, -10.0)]
+    i = 0
+    for cx, cy in centers:
+        for j in range(30):
+            angle = j * 2 * math.pi / 30
+            rows.append(
+                Row(
+                    vec_id=i,
+                    embedding=[cx + 0.5 * math.cos(angle), cy + 0.5 * math.sin(angle)],
+                )
+            )
+            i += 1
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "ivf_index")
+    S.build_ivf_index(df, path, dim=2, k=4, iters=4)
+
+    # every planted cluster maps to one cell, bijectively
+    assigned = spark.read.parquet(path)
+    cells = (
+        assigned.withColumn("planted", F.floor(F.col("vec_id") / 30))
+        .groupBy("planted")
+        .agg(F.countDistinct("cid").alias("n_cids"))
+        .collect()
+    )
+    assert all(r["n_cids"] == 1 for r in cells)
+    assert assigned.select("cid").distinct().count() == 4
+
+    # query near cluster 0: nprobe=1 reads exactly one cell's partition
+    query = [10.0, 0.5]
+    got = S.query_ivf_index(spark, path, query, k=5, nprobe=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan
+    ids = [r["vec_id"] for r in got.collect()]
+    assert len(ids) == 5 and all(0 <= i < 30 for i in ids)
+
+    # nprobe=k equals the exact brute-force ranking
+    full = [r["vec_id"] for r in S.query_ivf_index(spark, path, query, k=5, nprobe=4).collect()]
+    brute = [r["vec_id"] for r in S.cosine_topk(df, query, k=5).collect()]
+    assert full == brute
+
+    # determinism: rebuilding yields the identical assignment
+    path2 = str(tmp_path / "ivf_index2")
+    S.build_ivf_index(df, path2, dim=2, k=4, iters=4)
+    a1 = {(r["vec_id"], r["cid"]) for r in assigned.collect()}
+    a2 = {(r["vec_id"], r["cid"]) for r in spark.read.parquet(path2).collect()}
+    assert a1 == a2

@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 INDEX = "/tmp/curies_spark_ann_index"
 K = 10
 N_PLANES = 8
+IVF_CELLS = 64
 REPLICAS = 256
 QUERIES = 5
 
@@ -48,8 +49,10 @@ def main() -> None:
 
     from curies_spark.operators.similarity import (
         build_ann_index,
+        build_ivf_index,
         cosine_topk,
         query_ann_index,
+        query_ivf_index,
     )
 
     def scanned_bytes() -> int:
@@ -146,6 +149,38 @@ def main() -> None:
             "recall_at_k": round(recall_sum / QUERIES, 3),
         }
 
+    # IVF: corpus-adaptive cells vs the data-independent LSH buckets
+    ivf_path = "/tmp/curies_spark_ivf_index"
+    shutil.rmtree(ivf_path, ignore_errors=True)
+    shutil.rmtree(ivf_path + "_centroids", ignore_errors=True)
+    t0 = time.perf_counter()
+    build_ivf_index(corpus, ivf_path, dim=dim, k=IVF_CELLS, iters=3)
+    ivf_build_wall = time.perf_counter() - t0
+
+    ivf = {}
+    for nprobe in (1, 4):
+        probe_bytes = 0
+        probe_wall = 0.0
+        recall_sum = 0.0
+        for q, exact in zip(queries, exacts):
+            b0 = scanned_bytes()
+            t0 = time.perf_counter()
+            ann = {
+                r["vec_id"]
+                for r in query_ivf_index(
+                    spark, ivf_path, q, k=K, nprobe=nprobe
+                ).collect()
+            }
+            probe_wall += time.perf_counter() - t0
+            probe_bytes += scanned_bytes() - b0
+            recall_sum += len(ann & exact) / K
+        ivf[f"ivf_nprobe_{nprobe}"] = {
+            "probe_bytes_per_query": probe_bytes // QUERIES,
+            "probe_read_fraction": round(probe_bytes / max(scan_bytes, 1), 4),
+            "probe_wall_per_query_sec": round(probe_wall / QUERIES, 3),
+            "recall_at_k": round(recall_sum / QUERIES, 3),
+        }
+
     spark.stop()
     print(
         json.dumps(
@@ -155,12 +190,15 @@ def main() -> None:
                 "dim": dim,
                 "n_planes": N_PLANES,
                 "buckets": 2**N_PLANES,
+                "ivf_cells": IVF_CELLS,
                 "queries": QUERIES,
                 "k": K,
                 "index_build_wall_sec": round(build_wall, 2),
+                "ivf_build_wall_sec": round(ivf_build_wall, 2),
                 "full_scan_bytes_per_query": scan_bytes // QUERIES,
                 "full_scan_wall_per_query_sec": round(scan_wall / QUERIES, 3),
                 **probes,
+                **ivf,
             }
         )
     )
