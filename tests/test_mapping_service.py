@@ -87,6 +87,34 @@ def test_custom_predicates_cross_product():
     }
 
 
+def test_sameas_edges_reference_sparql_vector(spark):
+    """The reference's SPARQL_SIMPLE test (tests/test_mapping_service.py:
+    46-96): a VALUES block of two CHEBI URIs must yield exactly its
+    EXPECTED (s, o) set — here as the data-scale form, where the VALUES
+    block is a DataFrame."""
+    converter = Converter.from_priority_prefix_map(PRIORITY_MAP)
+    values = spark.createDataFrame(
+        [
+            ("http://purl.obolibrary.org/obo/CHEBI_1",),
+            ("http://purl.obolibrary.org/obo/CHEBI_2",),
+        ],
+        ["uri"],
+    )
+    got = {
+        (r["subject"], r["object"])
+        for r in sameas_edges(values, converter).collect()
+    }
+    expected = {
+        ("http://purl.obolibrary.org/obo/CHEBI_1", "http://purl.obolibrary.org/obo/CHEBI_1"),
+        ("http://purl.obolibrary.org/obo/CHEBI_1", "http://identifiers.org/chebi/1"),
+        ("http://purl.obolibrary.org/obo/CHEBI_1", "https://www.ebi.ac.uk/chebi/searchId.do?chebiId=1"),
+        ("http://purl.obolibrary.org/obo/CHEBI_2", "http://purl.obolibrary.org/obo/CHEBI_2"),
+        ("http://purl.obolibrary.org/obo/CHEBI_2", "http://identifiers.org/chebi/2"),
+        ("http://purl.obolibrary.org/obo/CHEBI_2", "https://www.ebi.ac.uk/chebi/searchId.do?chebiId=2"),
+    }
+    assert got == expected
+
+
 def test_sameas_edges_matches_driver_graph(spark):
     converter = Converter.from_priority_prefix_map(PRIORITY_MAP)
     uris = [
