@@ -43,6 +43,14 @@ from .core.preprocessing import (
     PreprocessingRewrites,
     PreprocessingRules,
 )
+from .core.mixins import (
+    SemanticallyProcessable,
+    SemanticallyStandardizable,
+    process,
+    process_many,
+    standardize,
+    standardize_many,
+)
 from .core.reconciliation import remap_curie_prefixes, remap_uri_prefixes, rewire
 from .core.record import (
     NamableReference,

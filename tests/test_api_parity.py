@@ -21,16 +21,8 @@ except Exception:  # pragma: no cover - reference unavailable
 
 pytestmark = pytest.mark.skipif(ref is None, reason="reference library unavailable")
 
-#: reference exports consciously NOT mirrored (SURVEY.md §2.10): the
-#: mixin ABCs and their module-level helpers are a typing convenience
-#: over per-object methods; the engine's equivalent is the documented
-#: ``DataFrame.transform`` convention + SparkConverter methods.
-OUT_OF_SCOPE = {
-    "SemanticallyProcessable",
-    "SemanticallyStandardizable",
-    "process",
-    "standardize",
-}
+#: reference exports consciously NOT mirrored — none remain.
+OUT_OF_SCOPE: set = set()
 
 
 def test_every_reference_export_has_a_counterpart():
@@ -40,6 +32,48 @@ def test_every_reference_export_has_a_counterpart():
         if name not in OUT_OF_SCOPE and not hasattr(curies_spark, name)
     ]
     assert not missing, f"reference exports without a curies_spark counterpart: {missing}"
+
+
+def test_mixins_process_and_standardize():
+    conv = curies_spark.Converter.from_extended_prefix_map(
+        [
+            {
+                "prefix": "CHEBI",
+                "prefix_synonyms": ["chebi"],
+                "uri_prefix": "http://purl.obolibrary.org/obo/CHEBI_",
+            }
+        ]
+    )
+
+    class Raw(curies_spark.SemanticallyProcessable):
+        def __init__(self, uri):
+            self.uri = uri
+
+        def process(self, converter):
+            return converter.parse_uri(self.uri, strict=True)
+
+    class Holder(curies_spark.SemanticallyStandardizable):
+        def __init__(self, reference):
+            self.reference = reference
+
+        def standardize(self, converter):
+            return Holder(converter.standardize_reference(self.reference, strict=True))
+
+    raws = [Raw("http://purl.obolibrary.org/obo/CHEBI_1")]
+    assert curies_spark.process(None, conv) is None
+    assert curies_spark.process(raws[0], conv).prefix == "CHEBI"
+    assert [r.curie for r in curies_spark.process(raws, conv)] == ["CHEBI:1"]
+    it = curies_spark.process(raws, conv, return_iterator=True)
+    assert not isinstance(it, list) and next(iter(it)).curie == "CHEBI:1"
+
+    holder = Holder(curies_spark.ReferenceTuple("chebi", "2"))
+    assert curies_spark.standardize(None, conv) is None
+    assert curies_spark.standardize(holder, conv).reference.prefix == "CHEBI"
+    assert [
+        h.reference.curie for h in curies_spark.standardize([holder], conv)
+    ] == ["CHEBI:2"]
+    assert curies_spark.process_many is curies_spark.process
+    assert curies_spark.standardize_many is curies_spark.standardize
 
 
 def test_triple_matches_reference_semantics():
