@@ -231,3 +231,69 @@ def test_random_remap_rewire_agreement(case, data):
                 rewiring,
                 s,
             )
+
+
+# ---------------------------------------------------------------------------
+# discovery differential: random URI lists, exact discovered-prefix parity
+# ---------------------------------------------------------------------------
+
+_uri_tail = st.sampled_from(["/", "#", "_"])
+
+
+@st.composite
+def _uri_pool(draw):
+    """URIs clustered over a few candidate prefixes + freeform noise —
+    the delimiter-priority and cutoff logic's food."""
+    n_bases = draw(st.integers(1, 4))
+    bases = [
+        f"http://{draw(_host)}.example.org/{draw(_host)}{draw(_uri_tail)}"
+        for _ in range(n_bases)
+    ]
+    uris = []
+    for _ in range(draw(st.integers(1, 20))):
+        kind = draw(st.integers(0, 3))
+        if kind < 2:
+            uris.append(draw(st.sampled_from(bases)) + draw(_identifier))
+        elif kind == 2:  # nested delimiters → prefix-priority decisions
+            uris.append(
+                draw(st.sampled_from(bases))
+                + draw(_host)
+                + draw(_uri_tail)
+                + draw(_identifier)
+            )
+        else:
+            uris.append(draw(st.text(min_size=0, max_size=25)))
+    return uris
+
+
+@settings(max_examples=100, deadline=None)
+@given(_uri_pool(), st.integers(1, 3))
+def test_random_discover_agreement(uris, cutoff):
+    from curies_spark.core.discovery import discover
+
+    ref_conv = ref.discover(uris, cutoff=cutoff)
+    our_conv = discover(uris, cutoff=cutoff)
+    theirs = {(r.prefix, r.uri_prefix) for r in ref_conv.records}
+    ours = {(r.prefix, r.uri_prefix) for r in our_conv.records}
+    assert ours == theirs, (uris, cutoff)
+
+
+# ---------------------------------------------------------------------------
+# w3c differential: random strings, exact predicate parity
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.text(min_size=0, max_size=20),
+        st.from_regex(r"[A-Za-z_][\w.\-]{0,10}:?[\w.%/#\-]{0,12}", fullmatch=True),
+    )
+)
+def test_random_w3c_agreement(s):
+    from curies_spark.core.w3c import is_w3c_curie, is_w3c_prefix
+
+    import curies.w3c as ref_w3c
+
+    assert is_w3c_prefix(s) == ref_w3c.is_w3c_prefix(s), ("prefix", s)
+    assert is_w3c_curie(s) == ref_w3c.is_w3c_curie(s), ("curie", s)
