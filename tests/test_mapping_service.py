@@ -87,6 +87,15 @@ def test_custom_predicates_cross_product():
     }
 
 
+def test_mapping_service_doctests():
+    import doctest
+
+    from curies_spark.core import mapping_service as module
+
+    results = doctest.testmod(module)
+    assert results.failed == 0 and results.attempted > 0
+
+
 def test_sameas_edges_reference_sparql_vector(spark):
     """The reference's SPARQL_SIMPLE test (tests/test_mapping_service.py:
     46-96): a VALUES block of two CHEBI URIs must yield exactly its
