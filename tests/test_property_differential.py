@@ -297,3 +297,90 @@ def test_random_w3c_agreement(s):
 
     assert is_w3c_prefix(s) == ref_w3c.is_w3c_prefix(s), ("prefix", s)
     assert is_w3c_curie(s) == ref_w3c.is_w3c_curie(s), ("curie", s)
+
+
+# ---------------------------------------------------------------------------
+# preprocessing differential: random rules, exact parse parity
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _rules_and_probes(draw, records):
+    """A random ruleset derived from the EPM (so rules actually fire) and
+    probes aimed at every rule family."""
+    record = draw(st.sampled_from(records))
+    base = record["uri_prefix"]
+    ident = draw(_identifier)
+    target_curie = f"{record['prefix']}:{draw(_identifier)}"
+    context = draw(st.sampled_from(["ctx", None]))
+
+    rules: dict = {"blocklists": {}, "rewrites": {}, "postprocessing": {}}
+    probes = []
+
+    if draw(st.booleans()):
+        blocked_full = base + "BLOCKED"
+        key = draw(st.sampled_from(["full", "resource_full"]))
+        rules["blocklists"][key] = (
+            {"ctx": [blocked_full]} if key == "resource_full" else [blocked_full]
+        )
+        probes.append(blocked_full)
+    if draw(st.booleans()):
+        rules["blocklists"]["prefix"] = [base[: max(4, len(base) // 2)]]
+        probes.append(base + ident)
+    if draw(st.booleans()):
+        rules["blocklists"]["suffix"] = [ident[-2:] or "zz"]
+        probes.append(base + ident)
+    if draw(st.booleans()):
+        rewritten_full = "oldform:" + ident
+        key = draw(st.sampled_from(["full", "resource_full"]))
+        rules["rewrites"][key] = (
+            {"ctx": {rewritten_full: target_curie}}
+            if key == "resource_full"
+            else {rewritten_full: target_curie}
+        )
+        probes.append(rewritten_full)
+    if draw(st.booleans()):
+        rules["rewrites"]["prefix"] = {"OLD_": base}
+        probes.append("OLD_" + ident)
+    if draw(st.booleans()):
+        rules["postprocessing"]["suffix"] = {record["prefix"]: [".x"]}
+        probes.append(base + ident + ".x")
+
+    probes.append(base + ident)  # plain hit
+    probes.append(draw(st.text(min_size=0, max_size=15)))  # noise
+    return rules, probes, context
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_random_preprocessing_agreement(data):
+    from curies_spark.core.preprocessing import PreprocessingConverter, PreprocessingRules
+
+    records = data.draw(_epm())
+    ours_base, theirs_base, exc_o, exc_t = _build_both(records)
+    assert exc_o == exc_t
+    if ours_base is None:
+        return
+    rules_dict, probes, context = data.draw(_rules_and_probes(records))
+
+    ours = PreprocessingConverter.from_converter(
+        ours_base, PreprocessingRules.from_dict(rules_dict)
+    )
+    import curies.preprocessing as ref_pre
+
+    theirs = ref_pre.PreprocessingConverter.from_converter(
+        theirs_base, ref_pre.PreprocessingRules.model_validate(rules_dict)
+    )
+
+    for block_action in ("pass", "raise"):
+        for s in probes:
+            def run(conv):
+                try:
+                    rv = conv.parse(s, context=context, block_action=block_action)
+                except Exception as e:  # noqa: BLE001
+                    return ("raised", type(e).__name__)
+                if rv is None:
+                    return ("ok", None)
+                return ("ok", (rv.prefix, rv.identifier))
+
+            assert run(ours) == run(theirs), (rules_dict, s, context, block_action)
