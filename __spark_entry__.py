@@ -450,6 +450,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(scored, 10)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: connected components (min-label
+    propagation) over the MinHash-LSH candidate pairs — the closure step
+    between pair generation and survivor selection."""
+    from curies_spark.operators.dedup import connected_components
+
+    return connected_components(q_minhash_pairs(spark, sf_dir))
+
+
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention detection + entity linking over synthetic doc content —
     the KG pipeline's hot path, oracle-checked."""
@@ -684,7 +693,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_docs": q_simhash_docs,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
+    "dedup_clusters": q_dedup_clusters,
     "ann_index_topk": q_ann_index_topk,
     "near_dup_embeddings": q_near_dup_embeddings,
     "mentions": q_mentions,
@@ -988,7 +997,7 @@ def _training_oracles() -> dict[str, str]:
         "simhash_docs": dt.oracle_simhash_sql(),
         "simhash_pairs": dt.oracle_simhash_pairs_sql(),
         "ann_topk": dt.oracle_ann_topk_sql(),
-        "ann_lsh_topk": dt.oracle_ann_lsh_topk_sql(),
+        "dedup_clusters": dt.oracle_dedup_clusters_sql(),
         # the persisted index probes the same (planes, hamming ≤ 1)
         # candidate set as the on-the-fly LSH — identical answer
         "ann_index_topk": dt.oracle_ann_lsh_topk_sql(),

@@ -22,6 +22,7 @@ __all__ = [
     "oracle_near_dup_embeddings_sql",
     "oracle_quality_gate_sql",
     "oracle_minhash_sql",
+    "oracle_dedup_clusters_sql",
     "oracle_minhash_pairs_sql",
     "oracle_jaccard_pairs_sql",
     "oracle_lang_quality_sql",
@@ -117,6 +118,29 @@ def oracle_minhash_pairs_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
         "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
         "FROM banded l JOIN banded r ON l.band = r.band AND "
         f"{join_cond} AND l.doc_id < r.doc_id"
+    )
+
+
+def oracle_dedup_clusters_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
+    """Connected components over the MinHash candidate pairs, as a
+    recursive transitive closure: component = min id reachable.
+
+    Quadratic in cluster size — fine as an oracle at sf0.01; the engine
+    side is the linear min-label propagation
+    (operators.dedup.connected_components)."""
+    base = oracle_minhash_pairs_sql(docs_sql)
+    marker = "SELECT DISTINCT l.doc_id AS id_a"
+    head, _, tail = base.partition(marker)
+    ctes = head[len("WITH "):].rstrip().rstrip(",")
+    return (
+        "WITH RECURSIVE " + ctes + ", "
+        f"pairs AS ({marker}{tail}), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "reach AS (SELECT src, dst FROM edges UNION "
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+        "SELECT src AS node, LEAST(src, MIN(dst)) AS component "
+        "FROM reach GROUP BY src"
     )
 
 

@@ -264,6 +264,41 @@ def test_ann_index_roundtrip_and_pruning(spark, tmp_path):
     assert 0 < n_probed <= 7 < n_buckets  # q_sig + 6 single-bit flips
 
 
+def test_connected_components_and_cluster_dedup(spark):
+    # two chains, a triangle, an isolated pair: components = min id
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21), (7, 30)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in D.connected_components(pairs).collect()
+    }
+    want = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+        (7, 7), (30, 7),
+    }
+    assert got == want
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 7, 30]],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in D.dedup_by_pairs(docs, pairs).collect())
+    # min-id per cluster survives; 5 is untouched by any pair
+    assert kept == [1, 5, 7, 10, 20]
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12  # diameter > a couple of rounds: exercises the iteration loop
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["id_a", "id_b"])
+    rows = D.connected_components(pairs, max_iter=50).collect()
+    assert {r["component"] for r in rows} == {0}
+    assert len(rows) == n + 1
+
+
 def test_ivf_index_clusters_prune_and_rank(spark, tmp_path):
     """IVF: deterministic k-means finds the planted clusters; a probe
     reads only nprobe cells (partition pruning) and returns the exact
