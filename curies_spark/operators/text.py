@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "REDACT_PATTERNS",
+    "redact_col",
     "doc_fingerprint_col",
     "language_id_col",
     "quality_features",
@@ -132,3 +134,34 @@ def doc_fingerprint_col(text: "Column | str", *, k: int = 3) -> Column:
         F.transform(sh, lambda s: F.substring(F.sha2(s, 256), 1, 16))
     )
     return F.sha2(F.concat_ws("", hashes), 256)
+
+
+#: redaction patterns, ordered: URLs first so an email-shaped credential
+#: or an IP host inside a URL is consumed by the URL match whole, not
+#: half-replaced by a later pattern. Shared Java-regex ∩ RE2 syntax —
+#: same policy as the mention regexes.
+REDACT_PATTERNS = (
+    ("url", r"https?://[^\s\"'<>()]+"),
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+)
+
+
+def redact_col(
+    text: "Column | str", *, kinds: "tuple[str, ...] | None" = None
+) -> Column:
+    """PII/link scrubbing for training corpora: replace emails, URLs, and
+    IPv4 addresses with ``<KIND>`` placeholder tokens.
+
+    One ``regexp_replace`` per pattern, fully JVM-side and pipelined with
+    the scan; order matters (URLs first, so credentials or IP hosts
+    inside a URL are consumed by the URL match whole). Placeholders are
+    angle-bracket tokens so a redacted corpus re-tokenizes them as
+    single units.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    active = {k for k in (kinds or [k for k, _ in REDACT_PATTERNS])}
+    for kind, pattern in REDACT_PATTERNS:
+        if kind in active:
+            c = F.regexp_replace(c, pattern, f"<{kind.upper()}>")
+    return c

@@ -148,6 +148,32 @@ def test_text_analysis(spark, docs):
     assert 1 in kept
 
 
+def test_redaction(spark):
+    rows = [
+        (1, "mail me at a.user+tag@example.co.uk today"),
+        (2, "see https://user:pw@example.com/path?x=1 and http://1.2.3.4/x"),
+        (3, "server at 192.168.001.1 port 80"),
+        (4, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["red"]
+        for r in df.select("doc_id", X.redact_col("text").alias("red")).collect()
+    }
+    assert got[1] == "mail me at <EMAIL> today"
+    # the email-ish credential inside the URL is consumed as one URL
+    assert got[2] == "see <URL> and <URL>"
+    assert got[3] == "server at <IPV4> port 80"
+    assert got[4] == "no pii here"
+    only_email = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", X.redact_col("text", kinds=("email",)).alias("red")
+        ).collect()
+    }
+    assert "192.168.001.1" in only_email[3]
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         Row(media_id=1, kind="image", mime="image/png", width=4, height=4,
