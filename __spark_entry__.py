@@ -9,6 +9,7 @@ derivations and oracle-SQL generators live in
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -33,17 +34,21 @@ from curies_spark.plans.demo import (
 
 _CONVERTER = demo_converter()
 _LARGE_CONVERTER = demo.large_converter()
-# keyed by the session OBJECT (not id(spark)): id reuse after GC could
-# hand a stale broadcast to a new session
-_SPARK_CONVERTERS: dict[tuple[SparkSession, str], SparkConverter] = {}
+# weak-keyed by the session OBJECT: no stale entry can serve a new
+# session (the id()-reuse hazard of an id-keyed dict), and a stopped,
+# dereferenced session's broadcasts are not pinned for process lifetime
+# (the leak a strong-keyed dict would add under multi-session benches)
+_SPARK_CONVERTERS: "weakref.WeakKeyDictionary[SparkSession, dict[str, SparkConverter]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _sc(spark: SparkSession, which: str = "demo") -> SparkConverter:
-    key = (spark, which)
-    if key not in _SPARK_CONVERTERS:
+    per_session = _SPARK_CONVERTERS.setdefault(spark, {})
+    if which not in per_session:
         conv = _CONVERTER if which == "demo" else _LARGE_CONVERTER
-        _SPARK_CONVERTERS[key] = SparkConverter(spark, conv)
-    return _SPARK_CONVERTERS[key]
+        per_session[which] = SparkConverter(spark, conv)
+    return per_session[which]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -424,27 +429,6 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probe_ann_index(spark, index_path, qvec, n_planes=6, multiprobe_bits=1, seed=7)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
     scored = cand.crossJoin(F.broadcast(q)).select(
-        "vec_id", _cosine_vs_query(F.col("embedding"), F.col("qe")).alias("_c")
-    )
-    return _rank_topk(scored, 10)
-
-
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from curies_spark.operators.similarity import hyperplanes, lsh_signature_col
-
-    planes = hyperplanes(64, 6, seed=7)
-    emb = _t(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qe"))
-        .withColumn("qsig", lsh_signature_col(F.col("qe"), planes))
-    )
-    cand = (
-        emb.withColumn("sig", lsh_signature_col(F.col("embedding"), planes))
-        .crossJoin(F.broadcast(q))
-        .filter(F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= 1)
-    )
-    scored = cand.select(
         "vec_id", _cosine_vs_query(F.col("embedding"), F.col("qe")).alias("_c")
     )
     return _rank_topk(scored, 10)

@@ -75,6 +75,13 @@ def get_uris_from_rdf(graph: Any, *, format: "str | None" = None) -> "set[str]":
             for part in parts
             if _is_uri_part(part)
         }
+    # inline N-Triples TEXT parses directly in every environment —
+    # rdflib's Graph.parse treats a plain string as a file path/URL, so
+    # routing text through it would make behavior rdflib-dependent.
+    # "<" never appears in a path or URL-location string, so it safely
+    # distinguishes inline content from a source locator.
+    if isinstance(graph, str) and "<" in graph:
+        return set(_ANGLE_URI_RE.findall(graph))
     try:
         import rdflib
 

@@ -59,13 +59,42 @@ class ReferenceTuple(NamedTuple):
         return cls(prefix, identifier)
 
 
-@dataclass(frozen=True, order=True)
+@dataclass(frozen=True, eq=False)
 class Reference:
-    """A hashable, lexically-ordered (prefix, identifier) reference
-    (reference api.py:386-521)."""
+    """A hashable, lexically-ordered (prefix, identifier) reference.
+
+    Equality, hashing, and ordering cover (prefix, identifier) ONLY and
+    accept any Reference subclass — reference api.py:447-459 semantics,
+    where ``Reference("skos", "broadMatch")`` equals (and looks up, in
+    dicts) the ``NamedReference`` vocabulary constant regardless of its
+    name. Dataclass-generated eq/order would instead compare exact class
+    + every field, breaking e.g. ``vocabulary.inversions[ref]``.
+    """
 
     prefix: str
     identifier: str
+
+    def __hash__(self) -> int:
+        return hash((self.prefix, self.identifier))
+
+    def __eq__(self, other: Any) -> bool:
+        return (
+            isinstance(other, Reference)
+            and self.prefix == other.prefix
+            and self.identifier == other.identifier
+        )
+
+    def __lt__(self, other: "Reference") -> bool:
+        return self.pair < other.pair
+
+    def __le__(self, other: "Reference") -> bool:
+        return self.pair <= other.pair
+
+    def __gt__(self, other: "Reference") -> bool:
+        return self.pair > other.pair
+
+    def __ge__(self, other: "Reference") -> bool:
+        return self.pair >= other.pair
 
     @property
     def curie(self) -> str:
@@ -85,9 +114,11 @@ class Reference:
         return cls(reference.prefix, reference.identifier)
 
 
-@dataclass(frozen=True, order=True)
+@dataclass(frozen=True, eq=False)
 class NamableReference(Reference):
-    """A reference, maybe with a name (reference api.py:524-599)."""
+    """A reference, maybe with a name (reference api.py:524-599).
+    Inherits pair-only equality/ordering: the name never distinguishes
+    two references."""
 
     name: "str | None" = None
 
@@ -99,7 +130,7 @@ class NamableReference(Reference):
         return cls(prefix, identifier, name)
 
 
-@dataclass(frozen=True, order=True)
+@dataclass(frozen=True, eq=False)
 class NamedReference(NamableReference):
     """A reference with a required human-readable label
     (reference api.py:601-653 ``NamedReference``)."""

@@ -316,7 +316,7 @@ def connected_components(
     *,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over a (numeric-id) pair table →
     ``(node, component)`` where component = min node id in the cluster.
@@ -365,9 +365,16 @@ def connected_components(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("t")
         ).collect()[0]["t"]
         if new_total == total:
-            break
+            return labels
         total = new_total
-    return labels
+    # silent truncation here would leak duplicates through dedup_by_pairs
+    # (stale labels on long chains look like extra clusters) — fail loud
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        "rounds; the pair graph contains a component with diameter >= "
+        "max_iter — raise max_iter (rounds are cheap: one join + one "
+        "aggregate each) or pre-contract long chains"
+    )
 
 
 def dedup_by_pairs(

@@ -293,6 +293,11 @@ def build_ivf_index(
         .limit(k)
         .collect()
     ]
+    # fewer rows than requested cells: clamp k (every vector is its own
+    # cell) instead of indexing past the init sample in the update step
+    k = len(centroids)
+    if k == 0:
+        raise ValueError("build_ivf_index: input DataFrame is empty")
 
     def assign(frame: DataFrame, cents: "list[list[float]]") -> DataFrame:
         # map-only argmin via one BLAS matmul per Arrow batch:

@@ -160,7 +160,15 @@ def redact_col(
     single units.
     """
     c = F.col(text) if isinstance(text, str) else text
-    active = {k for k in (kinds or [k for k, _ in REDACT_PATTERNS])}
+    known = {k for k, _ in REDACT_PATTERNS}
+    active = set(kinds) if kinds is not None else known
+    unknown = active - known
+    if unknown:
+        # silently skipping a misspelled kind would ship PII believed
+        # scrubbed — fail loud instead
+        raise ValueError(
+            f"unknown redaction kind(s) {sorted(unknown)}; known: {sorted(known)}"
+        )
     for kind, pattern in REDACT_PATTERNS:
         if kind in active:
             c = F.regexp_replace(c, pattern, f"<{kind.upper()}>")

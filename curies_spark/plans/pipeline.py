@@ -201,6 +201,15 @@ def _stage_shards(
     storage until the job finishes and can be dropped afterwards — it is
     also what makes resume cheap (recomputed shards re-read only their
     own files).
+
+    **Resume semantics are snapshot semantics**: with ``resume=True`` a
+    matching marker reuses the existing staged copy, so recomputed
+    shards derive from the SAME input snapshot as the shards whose
+    manifests they join — mixing a changed input with old manifests
+    would silently produce inconsistent totals (and the pre-staging
+    design did exactly that). For changed input, use a fresh
+    ``out_dir`` or ``resume=False``; ``validate_content_invariant``
+    against the new source detects drift after the fact.
     """
     staged = out / "_staged"
     marker = out / "_manifests" / "staged.json"
@@ -316,69 +325,78 @@ def run_pipeline(
 
     # count-backs over just-written parquet (n_triples, merge totals)
     # answer from row-group metadata instead of re-scanning data pages —
-    # measured 2x on the end-to-end job (BENCH/round2_pipeline.json)
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    # measured 2x on the end-to-end job (BENCH/round2_pipeline.json).
+    # Scoped: restored on exit so the caller's session is not mutated.
+    _agg_pd_key = "spark.sql.parquet.aggregatePushdown"
+    _agg_pd_prev = spark.conf.get(_agg_pd_key, None)
+    spark.conf.set(_agg_pd_key, "true")
 
-    out = Path(out_dir)
-    manifest_dir = out / "_manifests"
-    manifest_dir.mkdir(parents=True, exist_ok=True)
+    try:
+        out = Path(out_dir)
+        manifest_dir = out / "_manifests"
+        manifest_dir.mkdir(parents=True, exist_ok=True)
 
-    metrics: list[dict] = []
-    resumed = 0
-    pending: list[int] = []
-    for shard in range(n_shards):
-        manifest_path = manifest_dir / f"shard-{shard}.json"
-        if resume and manifest_path.exists():
-            metrics.append(json.loads(manifest_path.read_text()))
-            resumed += 1
+        metrics: list[dict] = []
+        resumed = 0
+        pending: list[int] = []
+        for shard in range(n_shards):
+            manifest_path = manifest_dir / f"shard-{shard}.json"
+            if resume and manifest_path.exists():
+                metrics.append(json.loads(manifest_path.read_text()))
+                resumed += 1
+            else:
+                pending.append(shard)
+
+        if pending:
+            staged_path = _stage_shards(spark, repos, out, n_shards, resume=resume)
+            with ThreadPoolExecutor(max_workers=max(1, max_concurrent_shards)) as pool:
+                futures = {
+                    shard: pool.submit(_run_shard, spark, staged_path, out, bc, shard)
+                    for shard in pending
+                }
+                # each shard persists its own manifest on success; one
+                # failing shard therefore never discards finished ones
+                for shard, future in futures.items():
+                    metrics.append(future.result())
+        metrics.sort(key=lambda m: m["shard"])
+
+        # merge phase: entity-scoped edges over the union of side outputs.
+        # Recomputed whenever any shard ran this invocation; skipped only on
+        # a fully-resumed run with an existing merge manifest.
+        merge_manifest_path = manifest_dir / "merge.json"
+        if resumed == n_shards and merge_manifest_path.exists():
+            merge_manifest = json.loads(merge_manifest_path.read_text())
         else:
-            pending.append(shard)
-
-    if pending:
-        staged_path = _stage_shards(spark, repos, out, n_shards, resume=resume)
-        with ThreadPoolExecutor(max_workers=max(1, max_concurrent_shards)) as pool:
-            futures = {
-                shard: pool.submit(_run_shard, spark, staged_path, out, bc, shard)
-                for shard in pending
+            t0 = time.perf_counter()
+            repo_entities = spark.read.parquet(str(out / "_entities")).distinct()
+            entity_edges = build_entity_edges(repo_entities, bc).dropDuplicates(
+                ["subject", "predicate", "object"]
+            )
+            entity_edges.write.mode("overwrite").parquet(str(out / "triples" / "shard=merge"))
+            n_entity_triples = spark.read.parquet(
+                str(out / "triples" / "shard=merge")
+            ).count()
+            merge_manifest = {
+                "shard": "merge",
+                "triples": n_entity_triples,
+                "wall_sec": round(time.perf_counter() - t0, 3),
             }
-            # each shard persists its own manifest on success; one
-            # failing shard therefore never discards finished ones
-            for shard, future in futures.items():
-                metrics.append(future.result())
-    metrics.sort(key=lambda m: m["shard"])
+            merge_manifest_path.write_text(json.dumps(merge_manifest))
 
-    # merge phase: entity-scoped edges over the union of side outputs.
-    # Recomputed whenever any shard ran this invocation; skipped only on
-    # a fully-resumed run with an existing merge manifest.
-    merge_manifest_path = manifest_dir / "merge.json"
-    if resumed == n_shards and merge_manifest_path.exists():
-        merge_manifest = json.loads(merge_manifest_path.read_text())
-    else:
-        t0 = time.perf_counter()
-        repo_entities = spark.read.parquet(str(out / "_entities")).distinct()
-        entity_edges = build_entity_edges(repo_entities, bc).dropDuplicates(
-            ["subject", "predicate", "object"]
-        )
-        entity_edges.write.mode("overwrite").parquet(str(out / "triples" / "shard=merge"))
-        n_entity_triples = spark.read.parquet(
-            str(out / "triples" / "shard=merge")
-        ).count()
-        merge_manifest = {
-            "shard": "merge",
-            "triples": n_entity_triples,
-            "wall_sec": round(time.perf_counter() - t0, 3),
+        totals = {
+            "shards": n_shards,
+            "input_rows": sum(m["input_rows"] for m in metrics),
+            "mentions": sum(m["mentions"] for m in metrics),
+            "linked_mentions": sum(m["linked_mentions"] for m in metrics),
+            "triples": sum(m["triples"] for m in metrics) + merge_manifest["triples"],
+            "resumed_shards": resumed,
+            "manifests": metrics,
+            "merge": merge_manifest,
         }
-        merge_manifest_path.write_text(json.dumps(merge_manifest))
-
-    totals = {
-        "shards": n_shards,
-        "input_rows": sum(m["input_rows"] for m in metrics),
-        "mentions": sum(m["mentions"] for m in metrics),
-        "linked_mentions": sum(m["linked_mentions"] for m in metrics),
-        "triples": sum(m["triples"] for m in metrics) + merge_manifest["triples"],
-        "resumed_shards": resumed,
-        "manifests": metrics,
-        "merge": merge_manifest,
-    }
-    (out / "_manifests" / "_totals.json").write_text(json.dumps(totals))
-    return totals
+        (out / "_manifests" / "_totals.json").write_text(json.dumps(totals))
+        return totals
+    finally:
+        if _agg_pd_prev is None:
+            spark.conf.unset(_agg_pd_key)
+        else:
+            spark.conf.set(_agg_pd_key, _agg_pd_prev)

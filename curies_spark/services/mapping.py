@@ -150,7 +150,10 @@ def evaluate_sparql(
     if q["projection"] == "*":
         out_vars = pattern_vars
     else:
-        out_vars = [v.lstrip("?,") for v in q["projection"].split()]
+        # re-extract var names: the projection text may be comma- or
+        # whitespace-separated ("?s, ?o"), and lstrip would mangle a
+        # trailing comma into the var name
+        out_vars = re.findall(r"\?(\w+)", q["projection"])
 
     rows: "list[dict[str, str]]" = []
     if pred is not None:

@@ -136,6 +136,13 @@ def test_prefix_declaration_resolves_predicate(graph):
     assert len(rows) == 3
 
 
+def test_comma_separated_projection(graph):
+    sparql = SPARQL_SIMPLE.replace("SELECT DISTINCT ?s ?o", "SELECT DISTINCT ?s, ?o")
+    variables, rows = evaluate_sparql(graph, sparql)
+    assert variables == ["s", "o"]
+    assert _so(rows) == EXPECTED
+
+
 def test_content_negotiation():
     # reference utils.py:123-148 semantics
     assert handle_header(None) == "application/sparql-results+xml"
