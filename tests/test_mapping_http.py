@@ -204,3 +204,26 @@ def test_http_xml_roundtrip(client):
         }
         rows.add((values["s"], values["o"]))
     assert rows == EXPECTED
+
+def test_evaluator_never_raises_unexpectedly(graph):
+    """Fuzz: any input either evaluates or raises ValueError (→ HTTP 400)
+    — never a parser crash (→ 500)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.one_of(
+            st.text(max_size=200),
+            st.from_regex(
+                r"SELECT [?\w*, ]{1,20} WHERE \{ [?<>:/\w. ]{0,80} \}", fullmatch=True
+            ),
+        )
+    )
+    def run(sparql):
+        try:
+            variables, rows = evaluate_sparql(graph, sparql)
+        except ValueError:
+            return
+        assert isinstance(variables, list) and isinstance(rows, list)
+
+    run()
