@@ -343,7 +343,13 @@ def _bucketed_prefix_match(arr, buckets):
     n = len(arr)
     raw = arr.cast(pa.binary())  # zero-copy view; byte slicing is offset math
     matched_values = pa.nulls(n, pa.string())
-    remainders = pa.nulls(n, pa.string())
+    # remainders stay BINARY until every bucket has run: a bucket's byte
+    # offset can split a multi-byte UTF-8 char on rows that did NOT
+    # match that bucket, and casting such a tail to string throws —
+    # if_else keeps only hit rows (whose offset is a char boundary by
+    # construction: the byte-prefix matched exactly), so the single
+    # final cast sees valid UTF-8 everywhere it is non-null
+    remainders_bin = pa.nulls(n, pa.binary())
     matched = pc.is_null(arr)
     stop = 2**31 - 1
     for length, keys, values in buckets:
@@ -354,10 +360,10 @@ def _bucketed_prefix_match(arr, buckets):
         hit = pc.and_not(pc.is_valid(idx), matched)
         if pc.any(hit).as_py():
             matched_values = pc.if_else(hit, pc.take(values, idx), matched_values)
-            tail = pc.binary_slice(raw, length, stop).cast(pa.string())
-            remainders = pc.if_else(hit, tail, remainders)
+            tail = pc.binary_slice(raw, length, stop)
+            remainders_bin = pc.if_else(hit, tail, remainders_bin)
             matched = pc.or_(matched, hit)
-    return matched_values, remainders
+    return matched_values, remainders_bin.cast(pa.string())
 
 
 def _vectorized_longest_match(arr, conv: Converter):

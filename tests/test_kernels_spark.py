@@ -336,3 +336,92 @@ def test_large_map_paths_match_native(spark, conv, sconv, monkeypatch):
             rv = None
         want.append(list(rv) if rv is not None else None)
     assert got == want
+
+
+def test_random_epms_kernels_match_core(spark, monkeypatch):
+    """Randomized differential for the HOT PATH: columnar compress/expand
+    (native when-chain AND forced Arrow-UDF) vs the driver core on
+    adversarial random EPMs — overlapping URI prefixes, synonym
+    collisions, multi-colon identifiers, unicode, near-miss probes.
+
+    Seeded random (not hypothesis): one Spark job per EPM is too slow
+    for per-example shrinking, and a failing (seed, case) reproduces
+    exactly."""
+    import random
+
+    from curies_spark.core.converter import Converter
+    from curies_spark.functions.spark_converter import SparkConverter
+
+    tails = ["/", "#", "_", ":", "/id/"]
+    for seed in range(8):
+        rng = random.Random(seed)
+        records = []
+        seen = set()
+        for i in range(rng.randint(1, 7)):
+            uri_prefix = (
+                f"http://h{rng.randint(0, 4)}.example.org{rng.choice(tails)}"
+            )
+            if i % 2 and records:  # overlap food for longest-match
+                uri_prefix = records[-1]["uri_prefix"] + f"x{i}_"
+            if uri_prefix in seen:
+                uri_prefix += f"{i}/"
+            seen.add(uri_prefix)
+            rec = {"prefix": f"p{i}", "uri_prefix": uri_prefix}
+            if rng.random() < 0.5:
+                syn = f"https://alt{i}.example.net/{rng.randint(0, 9)}/"
+                if syn not in seen:
+                    seen.add(syn)
+                    rec["uri_prefix_synonyms"] = [syn]
+            records.append(rec)
+        conv = Converter.from_extended_prefix_map(records)
+
+        probes = []
+        for _ in range(60):
+            r = rng.choice(records)
+            kind = rng.randint(0, 4)
+            ident = "".join(
+                rng.choice("ab1:_.-é") for _ in range(rng.randint(0, 8))
+            )
+            if kind == 0:
+                probes.append(r["uri_prefix"] + ident)
+            elif kind == 1:
+                probes.append(
+                    rng.choice(r.get("uri_prefix_synonyms") or [r["uri_prefix"]])
+                    + ident
+                )
+            elif kind == 2:
+                probes.append(f"{r['prefix']}:{ident}")
+            elif kind == 3:
+                probes.append(r["uri_prefix"][:-1])
+            else:
+                probes.append(ident)
+
+        df = spark.createDataFrame([(p,) for p in probes], ["value"])
+        for forced_udf in (False, True):
+            if forced_udf:
+                monkeypatch.setattr(kernels, "NATIVE_COMPRESS_THRESHOLD", 0)
+                monkeypatch.setattr(kernels, "NATIVE_EXPAND_THRESHOLD", 0)
+            else:
+                monkeypatch.undo()
+            sc = SparkConverter(spark, conv)
+            rows = df.select(
+                "value",
+                kernels.compress_col("value", sc.broadcast).alias("c"),
+                kernels.expand_col("value", sc.broadcast).alias("e"),
+                kernels.standardize_curie_col("value", sc.broadcast).alias("sc"),
+            ).collect()
+            def core(fn, v):
+                # columnar kernels map per-value errors (e.g. the core's
+                # NoCURIEDelimiterError on delimiter-less expand) to NULL
+                try:
+                    return fn(v)
+                except Exception:  # noqa: BLE001
+                    return None
+
+            for row in rows:
+                v = row["value"]
+                assert row["c"] == core(conv.compress, v), (seed, forced_udf, "compress", v)
+                assert row["e"] == core(conv.expand, v), (seed, forced_udf, "expand", v)
+                assert row["sc"] == core(conv.standardize_curie, v), (
+                    seed, forced_udf, "standardize_curie", v,
+                )
