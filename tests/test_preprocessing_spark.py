@@ -149,3 +149,80 @@ def test_parse_preprocessed_df_matches_driver(spark, rules, inner, context):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "grows beyond" not in plan
     assert len(plan) < 64_000
+
+
+def test_random_rules_columnar_matches_driver(spark):
+    """Seeded randomized differential for the columnar preprocessing
+    pipeline: random rules + random converters + probes aimed at every
+    rule family (incl. unicode and near-miss shapes) must match the
+    driver-side PreprocessingConverter value-for-value."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(1000 + seed)
+        prefixes = [f"p{i}" for i in range(rng.randint(2, 5))]
+        conv = Converter.from_prefix_map(
+            {p: f"http://{p}.example.org/{rng.choice(['', 'id/', 'x#'])}" for p in prefixes}
+        )
+        base = conv.prefix_map[prefixes[0]]
+        ident = lambda: "".join(  # noqa: E731
+            rng.choice("ab1:_.é-") for _ in range(rng.randint(0, 6))
+        )
+        target = f"{rng.choice(prefixes)}:{ident()}"
+        context = rng.choice([None, "ctx"])
+        rules = PreprocessingRules(
+            rewrites=PreprocessingRewrites(
+                full={"oldform": target} if rng.random() < 0.7 else {},
+                resource_full={"ctx": {"ctxform": target}} if rng.random() < 0.5 else {},
+                prefix={"OLD_": base} if rng.random() < 0.7 else {},
+                resource_prefix={"ctx": {"CTX_": base}} if rng.random() < 0.5 else {},
+            ),
+            blocklists=PreprocessingBlocklists(
+                full=[base + "BLOCKED"] if rng.random() < 0.7 else [],
+                prefix=[base[: len(base) // 2]] if rng.random() < 0.3 else [],
+                suffix=[":ev"] if rng.random() < 0.5 else [],
+                resource_full={"ctx": ["ctxblocked"]} if rng.random() < 0.5 else {},
+                resource_prefix={"ctx": [f"{prefixes[-1]}:"]} if rng.random() < 0.3 else {},
+            ),
+            postprocessing=PostprocessingRewrites(
+                suffix={prefixes[0]: [".x"]} if rng.random() < 0.7 else {}
+            ),
+        )
+        probes = []
+        for _ in range(50):
+            kind = rng.randint(0, 8)
+            p = rng.choice(prefixes)
+            if kind == 0:
+                probes.append("oldform")
+            elif kind == 1:
+                probes.append("ctxform")
+            elif kind == 2:
+                probes.append("OLD_" + ident())
+            elif kind == 3:
+                probes.append("CTX_" + ident())
+            elif kind == 4:
+                probes.append(base + "BLOCKED")
+            elif kind == 5:
+                probes.append(f"{p}:{ident()}:ev")
+            elif kind == 6:
+                probes.append(conv.prefix_map[p] + ident())
+            elif kind == 7:
+                probes.append(f"{prefixes[0]}:{ident()}.x")
+            else:
+                probes.append(ident())
+
+        pconv = PreprocessingConverter.from_converter(conv, rules)
+        want = {}
+        for v in probes:
+            rt = pconv.parse(v, context=context, block_action="pass")
+            want[v] = (rt.prefix, rt.identifier) if rt is not None else None
+
+        df = spark.createDataFrame([(v,) for v in probes], ["value"])
+        out = kernels.parse_preprocessed_df(df, "value", conv, rules, context=context)
+        for row in out.collect():
+            got = (
+                (row["parsed"]["prefix"], row["parsed"]["identifier"])
+                if row["parsed"] is not None
+                else None
+            )
+            assert got == want[row["value"]], (seed, context, row["value"])
