@@ -214,3 +214,60 @@ def test_vocabulary_parity_with_reference():
         (k.prefix, k.identifier): (v.prefix, v.identifier)
         for k, v in ref_v.inversions.items()
     }
+
+
+def test_triples_filters_match_reference(spark):
+    """All §2.4 prefix filters + the M:N ops, run IN-PROCESS against the
+    reference's own triples module on random triple sets — set-equality
+    of the surviving (s, p, o) tuples for every operator."""
+    import random
+
+    from curies.triples import Triple as RefTriple
+    from curies.triples import filters as ref_filters
+    from curies.triples import ops as ref_ops
+
+    from curies_spark.operators import triples as T
+
+    def spo_set(items):
+        return {(t.subject.curie, t.predicate.curie, t.object.curie) for t in items}
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        prefixes = ["a", "b", "c", "d"]
+
+        def curie():
+            return f"{rng.choice(prefixes)}:{rng.randint(1, 6)}"
+
+        rows = sorted({(curie(), curie(), curie()) for _ in range(rng.randint(8, 50))})
+        ref_triples = [RefTriple.from_curies(s, p, o) for s, p, o in rows]
+        df = spark.createDataFrame(rows, ["subject", "predicate", "object"])
+        keep = set(rng.sample(prefixes, 2))
+
+        cases = [
+            (T.keep_prefixes_both(df, keep),
+             ref_filters.keep_prefixes_both(ref_triples, keep)),
+            (T.keep_prefixes_either(df, keep),
+             ref_filters.keep_prefixes_either(ref_triples, keep)),
+            (T.keep_subject_prefixes(df, keep),
+             ref_filters.keep_subject_prefixes(ref_triples, keep)),
+            (T.keep_object_prefixes(df, keep),
+             ref_filters.keep_object_prefixes(ref_triples, keep)),
+            (T.exclude_prefixes_both(df, keep),
+             ref_filters.exclude_prefixes_both(ref_triples, keep)),
+            (T.exclude_subject_prefixes(df, keep),
+             ref_filters.exclude_subject_prefixes(ref_triples, keep)),
+            (T.exclude_object_prefixes(df, keep),
+             ref_filters.exclude_object_prefixes(ref_triples, keep)),
+            (T.exclude_same_prefixes(df),
+             ref_filters.exclude_same_prefixes(ref_triples)),
+            (T.get_prefix_stratified_many_to_many(df).distinct(),
+             ref_ops.get_prefix_stratified_many_to_many(ref_triples)),
+            (T.exclude_prefix_stratified_many_to_many(df),
+             ref_ops.exclude_prefix_stratified_many_to_many(ref_triples)),
+        ]
+        for i, (ours_df, theirs) in enumerate(cases):
+            got = {
+                (r["subject"], r["predicate"], r["object"])
+                for r in ours_df.collect()
+            }
+            assert got == spo_set(theirs), (seed, i, keep)
