@@ -396,7 +396,10 @@ def test_random_epms_kernels_match_core(spark, monkeypatch):
             else:
                 probes.append(ident)
 
-        df = spark.createDataFrame([(p,) for p in probes], ["value"])
+        probes.append(None)  # NULL rows must propagate NULL, never crash
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(probes)], ["i", "value"]
+        )
         for forced_udf in (False, True):
             if forced_udf:
                 monkeypatch.setattr(kernels, "NATIVE_COMPRESS_THRESHOLD", 0)
@@ -404,15 +407,24 @@ def test_random_epms_kernels_match_core(spark, monkeypatch):
             else:
                 monkeypatch.undo()
             sc = SparkConverter(spark, conv)
+            parsed = kernels.parse_uri_col("value", sc.broadcast)
             rows = df.select(
                 "value",
                 kernels.compress_col("value", sc.broadcast).alias("c"),
                 kernels.expand_col("value", sc.broadcast).alias("e"),
                 kernels.standardize_curie_col("value", sc.broadcast).alias("sc"),
+                kernels.standardize_prefix_col("value", sc.broadcast).alias("sp"),
+                kernels.standardize_uri_col("value", sc.broadcast).alias("su"),
+                kernels.expand_all_col("value", sc.broadcast).alias("ea"),
+                parsed.getField("prefix").alias("pp"),
+                parsed.getField("identifier").alias("pi"),
             ).collect()
             def core(fn, v):
                 # columnar kernels map per-value errors (e.g. the core's
-                # NoCURIEDelimiterError on delimiter-less expand) to NULL
+                # NoCURIEDelimiterError on delimiter-less expand) and
+                # NULL inputs to NULL
+                if v is None:
+                    return None
                 try:
                     return fn(v)
                 except Exception:  # noqa: BLE001
@@ -424,4 +436,22 @@ def test_random_epms_kernels_match_core(spark, monkeypatch):
                 assert row["e"] == core(conv.expand, v), (seed, forced_udf, "expand", v)
                 assert row["sc"] == core(conv.standardize_curie, v), (
                     seed, forced_udf, "standardize_curie", v,
+                )
+                assert row["sp"] == core(conv.standardize_prefix, v), (
+                    seed, forced_udf, "standardize_prefix", v,
+                )
+                assert row["su"] == core(conv.standardize_uri, v), (
+                    seed, forced_udf, "standardize_uri", v,
+                )
+                want_all = core(conv.expand_all, v)
+                got_all = sorted(row["ea"]) if row["ea"] is not None else None
+                assert got_all == (sorted(want_all) if want_all else want_all), (
+                    seed, forced_udf, "expand_all", v,
+                )
+                want_pair = core(conv.parse_uri, v)
+                got_pair = (
+                    (row["pp"], row["pi"]) if row["pp"] is not None else None
+                )
+                assert got_pair == (tuple(want_pair) if want_pair else None), (
+                    seed, forced_udf, "parse_uri", v,
                 )
