@@ -20,6 +20,8 @@ import struct
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
+    "append_to_ann_index",
+    "append_to_ivf_index",
     "build_ann_index",
     "build_ivf_index",
     "cosine_similarity_col",
@@ -196,6 +198,35 @@ def build_ann_index(
     )
 
 
+def append_to_ann_index(
+    df: DataFrame,
+    index_path: str,
+    *,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally extend a persisted ANN index: sign the new vectors
+    with the SAME hyperplanes (deterministic in (seed, n_planes, dim),
+    so old and new rows bucket identically) and append them to their
+    bucket partitions. At 100 TB this is the difference between a daily
+    full rebuild and writing only the day's increment — dynamic
+    partition append touches only the buckets the new vectors land in.
+    ``seed``/``n_planes``/``dim`` must match the build call.
+    """
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    signed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    signed.repartition("sig").write.mode("append").partitionBy("sig").parquet(
+        index_path
+    )
+
+
 def probe_ann_index(
     spark,
     index_path: str,
@@ -352,6 +383,49 @@ def build_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         ["cid", "centroid"],
     ).coalesce(1).write.mode("overwrite").parquet(index_path + "_centroids")
+
+
+def append_to_ivf_index(
+    df: DataFrame,
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally extend a persisted IVF index: assign new vectors to
+    the EXISTING centroids (read from the index's side table — no
+    re-training) and append them to their cell partitions. Standard IVF
+    maintenance: cells drift slowly, so periodic re-trains are a
+    separate, rarer operation than daily appends.
+    """
+    import numpy as np
+
+    cents_rows = sorted(
+        (r["cid"], r["centroid"])
+        for r in df.sparkSession.read.parquet(index_path + "_centroids").collect()
+    )
+    cent_matrix = np.asarray([c for _, c in cents_rows], dtype=np.float64).T
+    half_norms = 0.5 * (cent_matrix * cent_matrix).sum(axis=0)
+
+    from pyspark.sql.types import IntegerType
+
+    @F.arrow_udf(IntegerType())
+    def _nearest(arr):
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        vecs = flat.reshape(len(arr), -1)
+        scores = vecs @ cent_matrix - half_norms
+        return pa.array(np.argmax(scores, axis=1).astype("int32"))
+
+    assigned = df.select(
+        F.col(id_col), F.col(vec_col), _nearest(F.col(vec_col)).alias("cid")
+    )
+    assigned.repartition("cid").write.mode("append").partitionBy("cid").parquet(
+        index_path
+    )
 
 
 def query_ivf_index(

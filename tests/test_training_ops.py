@@ -325,6 +325,61 @@ def test_connected_components_long_chain_converges(spark):
     assert len(rows) == n + 1
 
 
+def test_index_incremental_append(spark, tmp_path):
+    """Both persisted indexes accept increments without a rebuild: new
+    vectors land in the same buckets/cells the build pass would give
+    them, and probes find old and new rows together."""
+    import math
+
+    def ring(ids, cx):
+        return [
+            Row(
+                vec_id=i,
+                embedding=[cx + 0.5 * math.cos(i), 0.5 * math.sin(i), 0.0],
+            )
+            for i in ids
+        ]
+
+    base = spark.createDataFrame(ring(range(40), 10.0) + ring(range(40, 80), -10.0))
+    increment = spark.createDataFrame(ring(range(100, 110), 10.0))
+
+    # --- LSH index ---
+    ann = str(tmp_path / "ann_inc")
+    S.build_ann_index(base, ann, dim=3, n_planes=4)
+    S.append_to_ann_index(increment, ann, dim=3, n_planes=4)
+    # appended rows carry the same signature the build pass would give
+    rebuilt = str(tmp_path / "ann_rebuilt")
+    S.build_ann_index(base.unionByName(increment), rebuilt, dim=3, n_planes=4)
+    a = {(r["vec_id"], r["sig"]) for r in spark.read.parquet(ann).collect()}
+    b = {(r["vec_id"], r["sig"]) for r in spark.read.parquet(rebuilt).collect()}
+    assert a == b
+    got = {
+        r["vec_id"]
+        for r in S.query_ann_index(
+            spark, ann, [10.5, 0.0, 0.0], k=50, n_planes=4, multiprobe_bits=2
+        ).collect()
+    }
+    assert got & set(range(100, 110)), "appended vectors must be probeable"
+
+    # --- IVF index ---
+    ivf = str(tmp_path / "ivf_inc")
+    S.build_ivf_index(base, ivf, dim=3, k=2, iters=3)
+    S.append_to_ivf_index(increment, ivf)
+    rows = spark.read.parquet(ivf).collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(r["cid"], set()).add(r["vec_id"])
+    # the increment (near cluster at +10) lands in the same cell as the
+    # base vectors of that cluster
+    cell_of_base = next(cid for cid, ids in by_cid.items() if 0 in ids)
+    assert set(range(100, 110)) <= by_cid[cell_of_base]
+    got = {
+        r["vec_id"]
+        for r in S.query_ivf_index(spark, ivf, [10.5, 0.0, 0.0], k=50, nprobe=1).collect()
+    }
+    assert got & set(range(100, 110))
+
+
 def test_ivf_index_clusters_prune_and_rank(spark, tmp_path):
     """IVF: deterministic k-means finds the planted clusters; a probe
     reads only nprobe cells (partition pruning) and returns the exact
