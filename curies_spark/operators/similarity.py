@@ -164,6 +164,60 @@ def _probe_set(q_sig: int, n_planes: int, multiprobe_bits: int) -> "set[int]":
     return probes
 
 
+def _write_signed(
+    df: DataFrame,
+    index_path: str,
+    *,
+    dim: int,
+    n_planes: int,
+    seed: int,
+    vec_col: str,
+    id_col: str,
+    mode: str,
+) -> None:
+    """Shared sign-and-write for build/append — ONE definition of the
+    signing layout so the append-equals-rebuild invariant can't drift."""
+    planes = hyperplanes(dim, n_planes, seed=seed)
+    signed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    )
+    # one shuffle by bucket so each partition directory is written by a
+    # single task (avoids 2^n_planes tiny files per input task)
+    signed.repartition("sig").write.mode(mode).partitionBy("sig").parquet(index_path)
+
+
+def _ann_params_path(index_path: str) -> str:
+    return index_path + "_params"
+
+
+def _write_ann_params(spark, index_path: str, params: "dict") -> None:
+    spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").json(
+        _ann_params_path(index_path)
+    )
+
+
+def _check_ann_params(spark, index_path: str, params: "dict") -> None:
+    """A mismatched (seed, n_planes, dim) append would sign rows with
+    different hyperplanes — probes prune those buckets at planning time,
+    so the appended vectors become silently unreachable. Fail loud."""
+    stored = {
+        k: v
+        for k, v in spark.read.json(_ann_params_path(index_path))
+        .collect()[0]
+        .asDict()
+        .items()
+        if k in params
+    }
+    if stored != params:
+        raise ValueError(
+            f"ANN index at {index_path!r} was built with {stored}, "
+            f"append called with {params} — mismatched hyperplanes would "
+            "make the appended vectors unreachable"
+        )
+
+
 def build_ann_index(
     df: DataFrame,
     index_path: str,
@@ -176,7 +230,9 @@ def build_ann_index(
 ) -> None:
     """Materialize a persisted ANN index: one pass computes every row's
     hyperplane signature, written ``partitionBy("sig")`` so each bucket
-    is its own partition directory.
+    is its own partition directory. The (seed, n_planes, dim) build
+    parameters ride along in a ``_params`` side table so appends can
+    verify compatibility.
 
     This is the amortization :func:`lsh_topk` lacks — ``lsh_topk``
     recomputes all N signatures per query (an O(N) scan every time);
@@ -185,16 +241,18 @@ def build_ann_index(
     source, no data read from other buckets — at 100 TB that is the
     difference between touching ~2^-bits of the table and all of it).
     """
-    planes = hyperplanes(dim, n_planes, seed=seed)
-    signed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    _write_signed(
+        df,
+        index_path,
+        dim=dim,
+        n_planes=n_planes,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        mode="overwrite",
     )
-    # one shuffle by bucket so each partition directory is written by a
-    # single task (avoids 2^n_planes tiny files per input task)
-    signed.repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(
-        index_path
+    _write_ann_params(
+        df.sparkSession, index_path, {"dim": dim, "n_planes": n_planes, "seed": seed}
     )
 
 
@@ -209,21 +267,24 @@ def append_to_ann_index(
     id_col: str = "vec_id",
 ) -> None:
     """Incrementally extend a persisted ANN index: sign the new vectors
-    with the SAME hyperplanes (deterministic in (seed, n_planes, dim),
-    so old and new rows bucket identically) and append them to their
-    bucket partitions. At 100 TB this is the difference between a daily
-    full rebuild and writing only the day's increment — dynamic
-    partition append touches only the buckets the new vectors land in.
-    ``seed``/``n_planes``/``dim`` must match the build call.
+    with the SAME hyperplanes (verified against the index's ``_params``
+    side table) and append them to their bucket partitions. At 100 TB
+    this is the difference between a daily full rebuild and writing only
+    the day's increment — dynamic partition append touches only the
+    buckets the new vectors land in.
     """
-    planes = hyperplanes(dim, n_planes, seed=seed)
-    signed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+    _check_ann_params(
+        df.sparkSession, index_path, {"dim": dim, "n_planes": n_planes, "seed": seed}
     )
-    signed.repartition("sig").write.mode("append").partitionBy("sig").parquet(
-        index_path
+    _write_signed(
+        df,
+        index_path,
+        dim=dim,
+        n_planes=n_planes,
+        seed=seed,
+        vec_col=vec_col,
+        id_col=id_col,
+        mode="append",
     )
 
 
@@ -281,6 +342,57 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _ivf_assign(
+    frame: DataFrame,
+    cents: "list[list[float]]",
+    cids: "list[int]",
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid: ONE shared kernel for
+    build and append so their cell placement can never diverge.
+
+    Map-only argmin via one BLAS matmul per Arrow batch:
+    argmin_c ||v − c||² = argmax_c (v·c − ½||c||²), so a
+    (batch × dim) @ (dim × k) product + a row argmax assigns the whole
+    batch at C speed. A zip_with/aggregate per centroid was measured
+    20× slower (378 s vs ~19 s for the 512k×64 build) — Spark's
+    higher-order functions interpret the lambda per element; dense
+    linear algebra belongs in numpy.
+
+    ``cids[i]`` is the REAL cell id of ``cents[i]`` — argmax positions
+    are mapped through it, so non-contiguous centroid tables (a re-train
+    that dropped empty cells) still place vectors in existing cells.
+    """
+    import numpy as np
+
+    cent_matrix = np.asarray(cents, dtype=np.float64).T  # dim × k
+    half_norms = 0.5 * (cent_matrix * cent_matrix).sum(axis=0)  # k
+    cid_arr = np.asarray(cids, dtype=np.int32)
+
+    from pyspark.sql.types import IntegerType
+
+    @F.arrow_udf(IntegerType())
+    def _nearest(arr):
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # flatten() honors list offsets (a sliced batch's .values would
+        # include out-of-window elements)
+        flat = np.asarray(arr.flatten(), dtype=np.float64)
+        vecs = flat.reshape(len(arr), -1)
+        if vecs.shape[1] != cent_matrix.shape[0]:
+            raise ValueError(
+                f"vector dim {vecs.shape[1]} != centroid dim "
+                f"{cent_matrix.shape[0]} — increment does not match the index"
+            )
+        scores = vecs @ cent_matrix - half_norms
+        return pa.array(cid_arr[np.argmax(scores, axis=1)])
+
+    return frame.select(id_col, vec_col, _nearest(F.col(vec_col)).alias("cid"))
+
+
 def build_ivf_index(
     df: DataFrame,
     index_path: str,
@@ -330,40 +442,9 @@ def build_ivf_index(
     if k == 0:
         raise ValueError("build_ivf_index: input DataFrame is empty")
 
-    def assign(frame: DataFrame, cents: "list[list[float]]") -> DataFrame:
-        # map-only argmin via one BLAS matmul per Arrow batch:
-        # argmin_c ||v - c||² = argmin_c (||c||² - 2 v·c), so a
-        # (batch × dim) @ (dim × k) product + a row argmin assigns the
-        # whole batch at C speed. A zip_with/aggregate per centroid was
-        # measured 20× slower (378 s vs ~19 s for the 512k×64 build) —
-        # Spark's higher-order functions interpret the lambda per
-        # element; dense linear algebra belongs in numpy.
-        import numpy as np
-
-        cent_matrix = np.asarray(cents, dtype=np.float64).T  # dim × k
-        half_norms = 0.5 * (cent_matrix * cent_matrix).sum(axis=0)  # k
-
-        from pyspark.sql.types import IntegerType
-
-        @F.arrow_udf(IntegerType())
-        def _nearest(arr):
-            import pyarrow as pa
-
-            if isinstance(arr, pa.ChunkedArray):
-                arr = arr.combine_chunks()
-            # flatten() honors list offsets (a sliced batch's .values
-            # would include out-of-window elements)
-            flat = np.asarray(arr.flatten(), dtype=np.float64)
-            vecs = flat.reshape(len(arr), -1)
-            scores = vecs @ cent_matrix - half_norms  # maximize v·c − ½||c||²
-            return pa.array(np.argmax(scores, axis=1).astype("int32"))
-
-        return frame.select(
-            id_col, vec_col, _nearest(F.col(vec_col)).alias("cid")
-        )
-
+    contiguous = list(range(k))
     for _ in range(iters):
-        assigned = assign(tagged, centroids)
+        assigned = _ivf_assign(tagged, centroids, contiguous, vec_col, id_col)
         mean_vec = F.array(
             *[F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]
         )
@@ -374,7 +455,7 @@ def build_ivf_index(
         # empty cells keep their previous centroid (standard Lloyd's)
         centroids = [by_cid.get(i, centroids[i]) for i in range(k)]
 
-    final = assign(tagged, centroids)
+    final = _ivf_assign(tagged, centroids, contiguous, vec_col, id_col)
     final.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
         index_path
     )
@@ -394,35 +475,20 @@ def append_to_ivf_index(
 ) -> None:
     """Incrementally extend a persisted IVF index: assign new vectors to
     the EXISTING centroids (read from the index's side table — no
-    re-training) and append them to their cell partitions. Standard IVF
-    maintenance: cells drift slowly, so periodic re-trains are a
-    separate, rarer operation than daily appends.
+    re-training, real cell ids preserved even if non-contiguous) and
+    append them to their cell partitions. Standard IVF maintenance:
+    cells drift slowly, so periodic re-trains are a separate, rarer
+    operation than daily appends.
     """
-    import numpy as np
-
     cents_rows = sorted(
         (r["cid"], r["centroid"])
         for r in df.sparkSession.read.parquet(index_path + "_centroids").collect()
     )
-    cent_matrix = np.asarray([c for _, c in cents_rows], dtype=np.float64).T
-    half_norms = 0.5 * (cent_matrix * cent_matrix).sum(axis=0)
-
-    from pyspark.sql.types import IntegerType
-
-    @F.arrow_udf(IntegerType())
-    def _nearest(arr):
-        import pyarrow as pa
-
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        flat = np.asarray(arr.flatten(), dtype=np.float64)
-        vecs = flat.reshape(len(arr), -1)
-        scores = vecs @ cent_matrix - half_norms
-        return pa.array(np.argmax(scores, axis=1).astype("int32"))
-
-    assigned = df.select(
-        F.col(id_col), F.col(vec_col), _nearest(F.col(vec_col)).alias("cid")
-    )
+    cids = [cid for cid, _ in cents_rows]
+    cents = [c for _, c in cents_rows]
+    # a dim mismatch fails loud inside _ivf_assign's kernel (per-batch
+    # shape check) — no driver-side scan needed here
+    assigned = _ivf_assign(df, cents, cids, vec_col, id_col)
     assigned.repartition("cid").write.mode("append").partitionBy("cid").parquet(
         index_path
     )

@@ -379,6 +379,11 @@ def test_index_incremental_append(spark, tmp_path):
     }
     assert got & set(range(100, 110))
 
+    # mismatched build params must fail loud, not silently strand the
+    # appended vectors in unreachable buckets
+    with pytest.raises(ValueError, match="mismatch"):
+        S.append_to_ann_index(increment, ann, dim=3, n_planes=6)
+
 
 def test_ivf_index_clusters_prune_and_rank(spark, tmp_path):
     """IVF: deterministic k-means finds the planted clusters; a probe

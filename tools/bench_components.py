@@ -52,13 +52,16 @@ def main() -> None:
             .filter(F.col("id") + CLUSTER < n_nodes)
             .select(F.col("id").alias("id_a"), (F.col("id") + CLUSTER).alias("id_b"))
         )
-        pairs = intra.unionByName(spokes).unionByName(chains)
+        # materialize the synthesized pairs BEFORE timing so the window
+        # measures the clustering operator, not edge generation
+        pairs = intra.unionByName(spokes).unionByName(chains).cache()
         n_edges = pairs.count()
 
         t0 = time.perf_counter()
         comp = connected_components(pairs)
         n_components = comp.select("component").distinct().count()
         wall = time.perf_counter() - t0
+        pairs.unpersist()
         results[f"n{n_nodes}"] = {
             "nodes": n_nodes,
             "edges": n_edges,
