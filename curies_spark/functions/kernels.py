@@ -207,10 +207,11 @@ def expand_all_col(curie: "Column | str", converter) -> Column:
     Native: a ``MapType(string, array<string>)`` literal keyed by every
     prefix+synonym, then ``transform`` concatenates the identifier.
     Past :data:`NATIVE_EXPAND_THRESHOLD` the map literal would bloat
-    every serialized task, so a pandas UDF against the broadcast
-    converter takes over (array results; cold path — sameAs fan-out is
-    usually computed on the distinct entity set, reference
-    mapping_service/api.py:96-118).
+    every serialized task, so an ``arrow_udf`` takes over: the same
+    length-bucketed byte-prefix probe as :func:`expand_col`, resolving
+    to a RECORD INDEX instead of a single URI prefix, then a vectorized
+    list fan-out (``np.repeat`` over per-record counts + one
+    element-wise join) builds the result ListArray — no per-row Python.
     """
     c = _col(curie)
     conv = _broadcast(converter)
@@ -219,17 +220,37 @@ def expand_all_col(curie: "Column | str", converter) -> Column:
 
         get = _converter_value_getter(converter)
 
-        @F.pandas_udf(ArrayType(StringType()))
-        def _expand_all(series: pd.Series) -> pd.Series:
-            cv = get()
+        @F.arrow_udf(ArrayType(StringType()))
+        def _expand_all(arr):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-            def one(s):
-                if s is None or ":" not in s:
-                    return None
-                rv = cv.expand_all(s)
-                return list(rv) if rv is not None else None
-
-            return series.map(one)
+            buckets, flat_values, rec_offsets, rec_counts = _expand_all_arrow_tables(
+                get()
+            )
+            idx_arr, identifiers = _bucketed_prefix_match(arr, buckets)
+            valid = pc.is_valid(idx_arr)
+            valid_np = valid.to_numpy(zero_copy_only=False)
+            idx_np = (
+                idx_arr.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            counts_row = np.where(valid_np, rec_counts[idx_np], 0)
+            offsets = np.concatenate(([0], np.cumsum(counts_row)))
+            row_rep = np.repeat(np.arange(len(counts_row)), counts_row)
+            # position of each output element inside its row's list
+            pos = np.arange(int(offsets[-1]), dtype=np.int64) - np.repeat(
+                offsets[:-1], counts_row
+            )
+            val_idx = rec_offsets[idx_np][row_rep] + pos
+            bases = flat_values.take(pa.array(val_idx))
+            idents_rep = identifiers.take(pa.array(row_rep))
+            joined = pc.binary_join_element_wise(bases, idents_rep, "")
+            return pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), pa.int32()),
+                joined,
+                mask=pc.invert(valid),
+            )
 
         return _expand_all(c)
     pairs: list[Column] = []
@@ -329,6 +350,38 @@ def _expand_arrow_buckets(conv: Converter):
     return cached
 
 
+def _expand_all_arrow_tables(conv: Converter):
+    """expand_all lookup tables, cached on the converter: length-bucketed
+    ``prefix: → record index`` probes plus the record-major flattened
+    URI-prefix array (canonical first, then synonyms in record order —
+    reference api.py:2182-2219) with per-record offsets/counts for the
+    vectorized list fan-out."""
+    cached = getattr(conv, "_expand_all_arrow_tables_cache", None)
+    if cached is None:
+        import numpy as np
+        import pyarrow as pa
+
+        mapping: dict[str, int] = {}
+        flat: list[str] = []
+        rec_offsets: list[int] = []
+        rec_counts: list[int] = []
+        for i, record in enumerate(conv.records):
+            uri_prefixes = [record.uri_prefix, *record.uri_prefix_synonyms]
+            rec_offsets.append(len(flat))
+            rec_counts.append(len(uri_prefixes))
+            flat.extend(uri_prefixes)
+            for prefix in record._all_prefixes:
+                mapping[f"{prefix}:"] = i
+        cached = (
+            _build_arrow_buckets(mapping),
+            pa.array(flat, pa.string()),
+            np.asarray(rec_offsets, dtype=np.int64),
+            np.asarray(rec_counts, dtype=np.int64),
+        )
+        conv._expand_all_arrow_tables_cache = cached
+    return cached
+
+
 def _bucketed_prefix_match(arr, buckets):
     """(matched value, remainder) Arrow arrays via length-bucketed
     vectorized probes: one byte-slice + set-lookup per DISTINCT key
@@ -342,7 +395,9 @@ def _bucketed_prefix_match(arr, buckets):
         arr = arr.combine_chunks()
     n = len(arr)
     raw = arr.cast(pa.binary())  # zero-copy view; byte slicing is offset math
-    matched_values = pa.nulls(n, pa.string())
+    # value type follows the buckets (string for prefix maps, int for
+    # the expand_all record-index tables)
+    matched_values = pa.nulls(n, buckets[0][2].type if buckets else pa.string())
     # remainders stay BINARY until every bucket has run: a bucket's byte
     # offset can split a multi-byte UTF-8 char on rows that did NOT
     # match that bucket, and casting such a tail to string throws —

@@ -220,10 +220,39 @@ def ngram_jaccard_pairs(
     )
 
 
+def _simhash_reference_one(s: "str | None", n_bits: int = 64) -> "int | None":
+    """Straightforward per-row SimHash — the differential twin for
+    :func:`simhash_col` tests (never used in a Spark plan)."""
+    import hashlib
+
+    if s is None:
+        return None
+    tokens = s.lower().split()
+    if not tokens:
+        return 0
+    word = 0
+    for b in range(n_bits):
+        votes = 0
+        for t in tokens:
+            h = int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest()[:8], "big")
+            votes += 1 if (h >> b) & 1 else -1
+        if votes > 0:
+            word |= 1 << b
+    return word - (1 << 64) if word >= (1 << 63) else word
+
+
 def simhash_col(text: "Column | str", *, n_bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens — Arrow-batched pandas UDF
-    with numpy-vectorized bit counting (the documented slow-path escape
-    hatch: per-bit weighted sums have no reasonable Spark-native form).
+    """64-bit SimHash over whitespace tokens — Arrow-batched pandas UDF,
+    fully batch-vectorized: the whole batch is tokenized with pandas'
+    C string kernels, tokens are factorized so sha256 runs once per
+    DISTINCT token (Zipf makes distinct ≪ total), and the per-bit
+    majority votes are numpy segment sums (``np.add.reduceat``) over the
+    flat token-hash array — no per-row Python loop anywhere.
+
+    Bit b of the signature is set iff the majority of the document's
+    token hashes (first 8 bytes of sha256, big-endian) have bit b set
+    (strict majority: ties clear the bit). NULL text → NULL; empty
+    token list → 0.
     """
     import numpy as np
 
@@ -233,33 +262,57 @@ def simhash_col(text: "Column | str", *, n_bits: int = 64) -> Column:
     def _simhash(series: pd.Series) -> pd.Series:
         import hashlib
 
-        def one(s):
-            if s is None:
-                return None
-            tokens = s.lower().split()
-            if not tokens:
-                return 0
-            hashes = np.fromiter(
+        token_lists = series.str.lower().str.split()
+        valid = token_lists.notna().to_numpy()
+        if not valid.any():
+            return pd.Series(pd.array([None] * len(series), dtype="Int64"))
+        lists = token_lists[valid]
+        counts = lists.str.len().to_numpy(dtype=np.int64)
+        n_valid = len(lists)
+        signatures = np.zeros(n_valid, dtype=np.int64)
+        nonempty = counts > 0
+        if nonempty.any():
+            from itertools import chain
+
+            flat = np.array(list(chain.from_iterable(lists)), dtype=object)
+            # factorize → sha256 once per DISTINCT token, then gather
+            codes, uniques = pd.factorize(flat)
+            uniq_hashes = np.fromiter(
                 (
                     int.from_bytes(
                         hashlib.sha256(t.encode("utf-8")).digest()[:8], "big"
                     )
-                    for t in tokens
+                    for t in uniques
                 ),
                 dtype=np.uint64,
-                count=len(tokens),
+                count=len(uniques),
             )
-            bits = (hashes[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1
-            # cast before the subtraction: a uint64 sum would WRAP on
-            # negative votes (sum*2 < n) instead of going negative,
-            # degenerating the signature to nearly all-ones
-            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(tokens)
-            word = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                word |= np.uint64(1) << np.uint64(i)
-            return int(word.astype(np.int64))
-
-        return series.map(one)
+            hashes = uniq_hashes[codes]
+            ne_counts = counts[nonempty]
+            # offsets over ALL valid docs; empty docs occupy zero width,
+            # so slicing at the nonempty docs' offsets segments `flat`
+            # exactly per nonempty document
+            all_offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            starts = all_offsets[nonempty]
+            # per-bit majority vote: one C-speed segment sum per bit
+            # (n_bits passes over the flat array beats materializing the
+            # n_flat × n_bits bit matrix at Arrow-batch sizes)
+            votes = np.empty((len(ne_counts), n_bits), dtype=np.int64)
+            for b in range(n_bits):
+                bit_b = ((hashes >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                votes[:, b] = np.add.reduceat(bit_b, starts)
+            signs = (votes * 2) > ne_counts[:, None]
+            # disjoint bit positions: sum ≡ bitwise OR, cannot overflow
+            words = (
+                signs.astype(np.uint64)
+                * np.left_shift(np.uint64(1), np.arange(n_bits, dtype=np.uint64))
+            ).sum(axis=1)
+            signatures[nonempty] = words.astype(np.int64)
+        full = np.zeros(len(series), dtype=np.int64)
+        full[valid] = signatures
+        out = pd.Series(full, dtype="Int64")
+        out[~valid] = pd.NA
+        return out
 
     return _simhash(c)
 

@@ -98,8 +98,12 @@ def cosine_topk(
     )
 
 
-def lsh_signature_col(vec: Column, planes: "list[list[float]]") -> Column:
-    """Random-hyperplane signature as a bigint bit field."""
+def _lsh_signature_col_hof(vec: Column, planes: "list[list[float]]") -> Column:
+    """Signature via per-plane ``zip_with``/``aggregate`` — kept ONLY as
+    the differential twin for :func:`lsh_signature_col` tests. Spark's
+    higher-order functions interpret their lambdas per element, so this
+    form pays n_planes × dim interpreted calls per row; never use it on
+    a corpus-scale pass."""
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         bit = F.when(_dot_lit(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
@@ -107,6 +111,60 @@ def lsh_signature_col(vec: Column, planes: "list[list[float]]") -> Column:
         )
         sig = sig + F.shiftleft(bit, i)
     return sig
+
+
+def lsh_signature_col(vec: Column, planes: "list[list[float]]") -> Column:
+    """Random-hyperplane signature as a bigint bit field.
+
+    One (batch × dim) @ (dim × n_planes) BLAS matmul per Arrow batch +
+    a vectorized sign-bit pack — the same dense-linear-algebra kernel
+    shape as :func:`_ivf_assign`, where replacing the interpreted
+    ``zip_with``/``aggregate`` form was measured 22× faster (378 s →
+    ~17 s on the 512k×64 build; see BASELINE.md). Bit i is set iff
+    ``dot(vec, planes[i]) > 0``, identical to the driver-side
+    :func:`query_signature`. NULL vectors sign to 0 (no hyperplane dot
+    is positive), matching the previous expression form.
+    """
+    import numpy as np
+
+    plane_matrix = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    n_planes = plane_matrix.shape[1]
+    if n_planes > 63:
+        raise ValueError("lsh_signature_col packs bits into a signed long; n_planes must be <= 63")
+    weights = np.left_shift(
+        np.uint64(1), np.arange(n_planes, dtype=np.uint64)
+    )
+
+    from pyspark.sql.types import LongType
+
+    @F.arrow_udf(LongType())
+    def _sign(arr):
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid_mask = None
+        dense = arr
+        if arr.null_count:
+            valid_mask = arr.is_valid().to_numpy(zero_copy_only=False)
+            dense = arr.drop_null()
+        # flatten() honors list offsets (a sliced batch's .values would
+        # include out-of-window elements)
+        flat = np.asarray(dense.flatten(), dtype=np.float64)
+        vecs = flat.reshape(len(dense), -1) if len(dense) else flat.reshape(0, plane_matrix.shape[0])
+        if vecs.shape[1] != plane_matrix.shape[0]:
+            raise ValueError(
+                f"vector dim {vecs.shape[1]} != hyperplane dim "
+                f"{plane_matrix.shape[0]} — vectors do not match the planes"
+            )
+        sigs = ((vecs @ plane_matrix) > 0).astype(np.uint64) @ weights
+        if valid_mask is None:
+            return pa.array(sigs.astype(np.int64))
+        out = np.zeros(len(arr), dtype=np.int64)
+        out[valid_mask] = sigs.astype(np.int64)
+        return pa.array(out)
+
+    return _sign(vec)
 
 
 def lsh_topk(
@@ -288,20 +346,46 @@ def append_to_ann_index(
     )
 
 
+def _read_ann_params(spark, index_path: str) -> "dict[str, int]":
+    row = spark.read.json(_ann_params_path(index_path)).collect()[0].asDict()
+    return {k: int(row[k]) for k in ("dim", "n_planes", "seed")}
+
+
 def probe_ann_index(
     spark,
     index_path: str,
     query: "list[float]",
     *,
-    n_planes: int = 6,
+    n_planes: "int | None" = None,
     multiprobe_bits: int = 1,
-    seed: int = 7,
+    seed: "int | None" = None,
 ) -> DataFrame:
     """Candidate rows for a query: read only the buckets within
     ``multiprobe_bits`` bit flips of the query's signature. The
     ``isin`` filter lands on the partition column, so Spark prunes
     every other bucket's files at planning time (check
-    ``PartitionFilters`` in the scan node)."""
+    ``PartitionFilters`` in the scan node).
+
+    ``n_planes``/``seed`` default to the values the index was BUILT
+    with (read from its ``_params`` side table); passing explicit
+    values that disagree with the build fails loud — probing with the
+    wrong hyperplanes would silently select the wrong buckets and
+    return arbitrarily poor candidates (the same unreachability hazard
+    :func:`append_to_ann_index` guards against on the write side).
+    """
+    stored = _read_ann_params(spark, index_path)
+    if len(query) != stored["dim"]:
+        raise ValueError(
+            f"query dim {len(query)} != index dim {stored['dim']} at {index_path!r}"
+        )
+    for name, given in (("n_planes", n_planes), ("seed", seed)):
+        if given is not None and given != stored[name]:
+            raise ValueError(
+                f"ANN index at {index_path!r} was built with "
+                f"{name}={stored[name]}, probe called with {name}={given} — "
+                "mismatched hyperplanes would probe the wrong buckets"
+            )
+    n_planes, seed = stored["n_planes"], stored["seed"]
     planes = hyperplanes(len(query), n_planes, seed=seed)
     probes = _probe_set(query_signature(query, planes), n_planes, multiprobe_bits)
     idx = spark.read.parquet(index_path)
@@ -314,14 +398,15 @@ def query_ann_index(
     query: "list[float]",
     *,
     k: int = 10,
-    n_planes: int = 6,
+    n_planes: "int | None" = None,
     multiprobe_bits: int = 1,
-    seed: int = 7,
+    seed: "int | None" = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Top-k over the probed buckets only — per-query cost is
-    O(N / 2^n_planes · |probes|) rows read instead of O(N)."""
+    O(N / 2^n_planes · |probes|) rows read instead of O(N).
+    ``n_planes``/``seed`` default to the index's build parameters."""
     candidates = probe_ann_index(
         spark,
         index_path,
@@ -400,6 +485,7 @@ def build_ivf_index(
     dim: int,
     k: int = 16,
     iters: int = 5,
+    train_fraction: float = 1.0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> None:
@@ -416,23 +502,38 @@ def build_ivf_index(
 
     - **init**: the ``k`` vectors with the smallest ``xxhash64(id)`` —
       a seedless deterministic sample, one TakeOrdered job;
-    - **assign**: ``crossJoin(broadcast(centroids))`` (k driver-scale
-      rows) → squared distance via ``zip_with``/``aggregate`` →
-      argmin with ``min(struct(dist, cid))`` — one shuffle keyed by
-      ``id``, N×k intermediate rows, no Python;
+    - **assign** (:func:`_ivf_assign`, shared with append): map-only
+      nearest-centroid via ONE (batch × dim) @ (dim × k) BLAS matmul
+      per Arrow batch — argmin ‖v−c‖² ≡ argmax (v·c − ½‖c‖²) — no
+      shuffle, no per-row Python (an interpreted ``zip_with`` form was
+      measured 20× slower and rejected; see the kernel's docstring);
     - **update**: per-cell elementwise mean as ``array(avg(vec[0]),
       …, avg(vec[dim-1]))`` — partial+final aggregate, skew-free
       (k cells);
-    - ties break toward the lower ``cid`` for cross-run determinism.
+    - ties break toward the lower ``cid`` (argmax takes the first
+      maximum) for cross-run determinism.
 
-    At 100 TB the train loop runs on a sample (pass ``df.sample(…)``
-    output as ``df`` and assign the full corpus afterwards); assignment
-    cost is the dominant term and is one broadcast-join pass.
+    ``train_fraction < 1`` runs the Lloyd's iterations on a
+    deterministic ``xxhash64(id)``-sliced sample (no RNG, stable across
+    runs) and then assigns the FULL corpus to the trained centroids —
+    the standard sample-then-assign pattern: at 100 TB the train loop
+    touches a few million vectors while the single full-corpus pass is
+    the map-only assignment.
     """
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     tagged = df.select(F.col(id_col), F.col(vec_col))
+    if train_fraction < 1.0:
+        # deterministic slice: keep ids whose xxhash64 lands below the
+        # fraction cut — same rows every run, unlike df.sample(seed=…)
+        # whose row selection depends on partitioning
+        cut = int((2**64) * train_fraction) - 2**63
+        train = tagged.filter(F.xxhash64(F.col(id_col)) < F.lit(cut))
+    else:
+        train = tagged
     centroids = [
         r[vec_col]
-        for r in tagged.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        for r in train.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(k)
         .collect()
     ]
@@ -444,7 +545,7 @@ def build_ivf_index(
 
     contiguous = list(range(k))
     for _ in range(iters):
-        assigned = _ivf_assign(tagged, centroids, contiguous, vec_col, id_col)
+        assigned = _ivf_assign(train, centroids, contiguous, vec_col, id_col)
         mean_vec = F.array(
             *[F.avg(F.col(vec_col)[i].cast("double")) for i in range(dim)]
         )
@@ -513,6 +614,14 @@ def query_ivf_index(
     """
     q = [float(x) for x in query]
     cents = spark.read.parquet(index_path + "_centroids").collect()
+    for r in cents:
+        if len(q) != len(r["centroid"]):
+            # zip would silently truncate and score a dim-prefix —
+            # mirror _ivf_assign's loud shape check on the write path
+            raise ValueError(
+                f"query dim {len(q)} != index dim {len(r['centroid'])} "
+                f"at {index_path!r}"
+            )
     scored = sorted(
         (sum((a - b) ** 2 for a, b in zip(q, r["centroid"])), r["cid"]) for r in cents
     )

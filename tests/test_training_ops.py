@@ -439,3 +439,130 @@ def test_ivf_index_clusters_prune_and_rank(spark, tmp_path):
     a1 = {(r["vec_id"], r["cid"]) for r in assigned.collect()}
     a2 = {(r["vec_id"], r["cid"]) for r in spark.read.parquet(path2).collect()}
     assert a1 == a2
+
+
+def test_lsh_signature_blas_matches_hof(spark):
+    """The BLAS-matmul signing kernel must produce bit-identical
+    signatures to the original zip_with/aggregate expression form
+    (which it replaced for throughput: interpreted HOFs pay
+    n_planes × dim lambda calls per row)."""
+    import random
+
+    random.seed(17)
+    rows = [
+        Row(vec_id=i, embedding=[random.uniform(-1.0, 1.0) for _ in range(24)])
+        for i in range(400)
+    ]
+    rows.append(Row(vec_id=9999, embedding=None))
+    df = spark.createDataFrame(rows)
+    planes = S.hyperplanes(24, 12, seed=5)
+    cmp = df.select(
+        S.lsh_signature_col(F.col("embedding"), planes).alias("blas"),
+        S._lsh_signature_col_hof(F.col("embedding"), planes).alias("hof"),
+    )
+    bad = cmp.filter(~F.col("blas").eqNullSafe(F.col("hof"))).count()
+    assert bad == 0
+    # the driver-side query signature agrees with the column form too
+    one = [r for r in rows if r["vec_id"] == 3][0]["embedding"]
+    col_sig = (
+        spark.createDataFrame([Row(embedding=one)])
+        .select(S.lsh_signature_col(F.col("embedding"), planes).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert col_sig == S.query_signature(one, planes)
+
+
+def test_simhash_vectorized_differential(spark):
+    """The batch-vectorized SimHash (factorize + segment-summed votes)
+    must match a straightforward per-row implementation on nulls,
+    empties, unicode, repeats, and long docs."""
+    texts = [
+        "hello world hello",
+        "",
+        "   ",
+        None,
+        "Foo BAR foo bar baz",
+        "ünïcode tökens ünïcode",
+        "a",
+        "x " * 500,
+        "the quick brown fox " * 7,
+        "MIXED case Mixed CASE",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {r["i"]: r["s"] for r in df.select("i", D.simhash_col("t").alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == D._simhash_reference_one(t), (i, t)
+
+
+def test_ann_probe_reads_build_params(spark, tmp_path):
+    """Probing defaults to the index's OWN build parameters (from the
+    _params side table); explicit mismatching params fail loud instead
+    of silently probing the wrong buckets."""
+    import math
+
+    rows = [
+        Row(vec_id=i, embedding=[math.cos(i * 0.3), math.sin(i * 0.3), 0.5])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "ann_nondefault")
+    # NON-default build params
+    S.build_ann_index(df, path, dim=3, n_planes=9, seed=42)
+
+    query = [1.0, 0.0, 0.5]
+    # no params passed: the probe must pick up n_planes=9/seed=42 itself
+    got = [r["vec_id"] for r in S.query_ann_index(spark, path, query, k=5).collect()]
+    brute = [r["vec_id"] for r in S.cosine_topk(df, query, k=60).collect()]
+    assert set(got) <= set(brute) and len(got) > 0
+
+    # explicit matching params are accepted
+    S.probe_ann_index(spark, path, query, n_planes=9, seed=42).count()
+    # mismatched explicit params fail loud
+    with pytest.raises(ValueError, match="n_planes"):
+        S.probe_ann_index(spark, path, query, n_planes=6)
+    with pytest.raises(ValueError, match="seed"):
+        S.probe_ann_index(spark, path, query, seed=7)
+    # wrong-dimension query fails loud
+    with pytest.raises(ValueError, match="dim"):
+        S.probe_ann_index(spark, path, [1.0, 0.0])
+
+
+def test_ivf_train_fraction_and_dim_guard(spark, tmp_path):
+    """train_fraction trains Lloyd's on a deterministic sample but
+    assigns the FULL corpus; a wrong-dimension query fails loud instead
+    of zip-truncating to a dim prefix."""
+    import math
+
+    rows = []
+    centers = [(10.0, 0.0), (-10.0, 0.0)]
+    i = 0
+    for cx, cy in centers:
+        for j in range(40):
+            angle = j * 2 * math.pi / 40
+            rows.append(
+                Row(
+                    vec_id=i,
+                    embedding=[cx + 0.5 * math.cos(angle), cy + 0.5 * math.sin(angle)],
+                )
+            )
+            i += 1
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "ivf_sampled")
+    S.build_ivf_index(df, path, dim=2, k=2, iters=4, train_fraction=0.5)
+
+    assigned = spark.read.parquet(path)
+    # every row of the FULL corpus is assigned, sample or not
+    assert assigned.count() == len(rows)
+    # the planted separation is easy: each cluster lands in one cell
+    cells = (
+        assigned.withColumn("planted", F.floor(F.col("vec_id") / 40))
+        .groupBy("planted")
+        .agg(F.countDistinct("cid").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] == 1 for r in cells)
+
+    with pytest.raises(ValueError, match="dim"):
+        S.query_ivf_index(spark, path, [1.0, 0.0, 0.0], k=3)
+    with pytest.raises(ValueError, match="train_fraction"):
+        S.build_ivf_index(df, path, dim=2, k=2, train_fraction=0.0)
