@@ -509,10 +509,9 @@ def q_filter_by_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_filter_by_curies(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _curies(spark, sf_dir)
-    smallest = [
-        r["curie"]
-        for r in df.select("curie").distinct().orderBy("curie").limit(10).collect()
-    ]
+    # DataFrame-valued set: the 10 smallest CURIEs never visit the
+    # driver — filter_df_by_curies semi-joins against them directly
+    smallest = df.select("curie").distinct().orderBy("curie").limit(10)
     return T.filter_df_by_curies(df, "curie", smallest)
 
 
@@ -546,10 +545,10 @@ def q_keep_triples_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{demo.HASH_OBJECT_EXPR} AS object",
     )
     h = sconv.hash_triple("subject", "predicate", "object")
-    hashes = [
-        r["h"]
-        for r in df.select(h.alias("h")).filter(F.col("h").startswith("0")).distinct().collect()
-    ]
+    # DataFrame-valued hash set: ~1/16 of all distinct triple hashes
+    # stays distributed (semi-join on the recomputed hash) instead of
+    # being collected to the driver to build an isin literal
+    hashes = df.select(h.alias("h")).filter(F.col("h").startswith("0")).distinct()
     return T.keep_triples_by_hash(df, sconv.converter, hashes).distinct()
 
 

@@ -136,7 +136,15 @@ def keep_predicates(df: DataFrame, predicates: "str | Iterable[str]") -> DataFra
 ISIN_THRESHOLD = 1_000
 
 
-def _membership(df: DataFrame, column: str, values: Sequence[str], *, keep: bool) -> DataFrame:
+def _membership(
+    df: DataFrame, column: str, values: "Sequence[str] | DataFrame", *, keep: bool
+) -> DataFrame:
+    if isinstance(values, DataFrame):
+        # DataFrame-valued set: a distributed semi/anti join — the set
+        # never touches the driver (no .collect() to build it, no
+        # serialized literal). AQE broadcasts it when it turns out small.
+        lookup = values.select(F.col(values.columns[0]).alias(column)).distinct()
+        return df.join(lookup, on=column, how="left_semi" if keep else "left_anti")
     values = list(values)
     if len(values) <= ISIN_THRESHOLD:
         cond = F.col(column).isin(values)
@@ -178,14 +186,24 @@ def exclude_references_both(df: DataFrame, curies: Sequence[str]) -> DataFrame:
 
 
 def keep_triples_by_hash(
-    df: DataFrame, converter, triple_hashes: "str | Sequence[str]"
+    df: DataFrame, converter, triple_hashes: "str | Sequence[str] | DataFrame"
 ) -> DataFrame:
     """Recompute each triple's hash and keep members
-    (reference filters.py:337-387)."""
+    (reference filters.py:337-387).
+
+    ``triple_hashes`` may be a hash string, an in-memory sequence (the
+    reference API shape), or a single-column DataFrame of hashes — the
+    DataFrame form keeps the whole filter distributed (semi-join on the
+    recomputed hash; no driver-side set), the only shape that survives a
+    100 TB hash set."""
     from ..functions.kernels import hash_triple_col
 
-    hashes = [triple_hashes] if isinstance(triple_hashes, str) else list(triple_hashes)
     h = hash_triple_col("subject", "predicate", "object", converter)
+    if isinstance(triple_hashes, DataFrame):
+        return _membership(
+            df.withColumn("_triple_hash", h), "_triple_hash", triple_hashes, keep=True
+        ).drop("_triple_hash")
+    hashes = [triple_hashes] if isinstance(triple_hashes, str) else list(triple_hashes)
     return df.filter(h.isin(hashes))
 
 
@@ -286,8 +304,16 @@ def filter_df_by_prefixes(
     return df.filter(curie_prefix(column).isin(_prefixes(prefixes)))
 
 
-def filter_df_by_curies(df: DataFrame, column: str, curies: Sequence[str]) -> DataFrame:
-    """Keep rows whose CURIE is in the set (reference dataframe.py:214-286)."""
+def filter_df_by_curies(
+    df: DataFrame, column: str, curies: "Sequence[str] | DataFrame"
+) -> DataFrame:
+    """Keep rows whose CURIE is in the set (reference dataframe.py:214-286).
+
+    Accepts an in-memory sequence (reference API shape) or a
+    single-column DataFrame — the DataFrame form is a distributed
+    semi-join, so a billion-CURIE allowlist never visits the driver."""
+    if isinstance(curies, DataFrame):
+        return _membership(df, column, curies, keep=True)
     return _membership(df, column, list(curies), keep=True)
 
 

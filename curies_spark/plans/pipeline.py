@@ -235,7 +235,7 @@ def _atomic_write(path: Path, text: str) -> None:
 
 
 def _run_shard(
-    spark: SparkSession, staged_path: str, out: Path, bc, shard: int
+    spark: SparkSession, staged_path: str, out: Path, bc, shard: int, n_shards: int
 ) -> dict:
     """One shard's map phase: stats → mentions → linking → file edges +
     entity side-output, finished by an atomic manifest write (the
@@ -280,6 +280,9 @@ def _run_shard(
 
     manifest = {
         "shard": shard,
+        # the hash-slice geometry this manifest describes: a resume under
+        # a different n_shards must NOT trust it (different slice)
+        "n_shards": n_shards,
         "input_rows": stats_row["input_rows"],
         "content_sha_rollup": str(stats_row["content_sha_rollup"] or 0),
         "mentions": n_mentions,
@@ -336,6 +339,24 @@ def run_pipeline(
         manifest_dir = out / "_manifests"
         manifest_dir.mkdir(parents=True, exist_ok=True)
 
+        # geometry guard: a shard manifest produced under a different
+        # n_shards describes a different hash slice — trusting it would
+        # silently mix slices, and its stale shard=K outputs would still
+        # be read by the directory-level merge phase. A geometry change
+        # therefore invalidates ALL derived state (outputs + manifests),
+        # not just the mismatched manifests.
+        existing = sorted(manifest_dir.glob("shard-*.json"))
+        if existing and any(
+            json.loads(p.read_text()).get("n_shards") != n_shards for p in existing
+        ):
+            import shutil
+
+            for stale in ("triples", "_entities"):
+                shutil.rmtree(out / stale, ignore_errors=True)
+            for p in existing:
+                p.unlink()
+            (manifest_dir / "merge.json").unlink(missing_ok=True)
+
         metrics: list[dict] = []
         resumed = 0
         pending: list[int] = []
@@ -351,7 +372,9 @@ def run_pipeline(
             staged_path = _stage_shards(spark, repos, out, n_shards, resume=resume)
             with ThreadPoolExecutor(max_workers=max(1, max_concurrent_shards)) as pool:
                 futures = {
-                    shard: pool.submit(_run_shard, spark, staged_path, out, bc, shard)
+                    shard: pool.submit(
+                        _run_shard, spark, staged_path, out, bc, shard, n_shards
+                    )
                     for shard in pending
                 }
                 # each shard persists its own manifest on success; one

@@ -156,3 +156,31 @@ def test_staging_scans_source_once(spark, repos, tmp_path):
     # resume path reuses the staged copy: marker recorded with n_shards
     marker = json.loads((Path(out) / "_manifests" / "staged.json").read_text())
     assert marker == {"n_shards": 4}
+
+
+def test_resume_rejects_changed_shard_geometry(spark, repos, tmp_path):
+    """Re-running an out_dir with a different n_shards must NOT trust the
+    old manifests (they describe different hash slices) — all derived
+    state is recomputed under the new geometry and stale shard outputs
+    do not leak into the merge or totals."""
+    out = str(tmp_path / "kg_geom")
+    totals_8 = run_pipeline(spark, repos, out, n_shards=8)
+    assert totals_8["resumed_shards"] == 0
+
+    totals_4 = run_pipeline(spark, repos, out, n_shards=4)
+    # nothing resumed: every 8-shard manifest was invalidated
+    assert totals_4["resumed_shards"] == 0
+    assert totals_4["shards"] == 4
+    # same corpus → same invariants under either geometry
+    assert totals_4["input_rows"] == totals_8["input_rows"]
+    assert totals_4["triples"] == totals_8["triples"]
+    # stale shard=4..7 outputs are gone; written triples match totals
+    written = spark.read.parquet(f"{out}/triples")
+    assert written.count() == totals_4["triples"]
+    manifests = sorted((Path(out) / "_manifests").glob("shard-*.json"))
+    assert len(manifests) == 4
+    assert all(json.loads(p.read_text())["n_shards"] == 4 for p in manifests)
+
+    # and the new-geometry manifests resume cleanly
+    totals_again = run_pipeline(spark, repos, out, n_shards=4)
+    assert totals_again["resumed_shards"] == 4

@@ -239,3 +239,38 @@ def test_uris_from_triples(spark):
         "http://b.org/t_7",
         "http://w3.org/skos#exactMatch",
     ]
+
+
+def test_dataframe_valued_membership_sets(spark):
+    """keep_triples_by_hash / filter_df_by_curies accept a DataFrame of
+    values: the set stays distributed (semi-join) — no .collect() to
+    build a driver-side literal — and matches the sequence form."""
+    converter = Converter.from_prefix_map(
+        {
+            "DOID": "http://purl.obolibrary.org/obo/DOID_",
+            "skos": "http://www.w3.org/2004/02/skos/core#",
+            "mesh": "http://id.nlm.nih.gov/mesh/",
+        }
+    )
+    c1, c2, c3 = "DOID:0050577", "mesh:C562966", "DOID:225"
+    m1 = Row(subject=c1, predicate=EXACT, object=c2)
+    m2 = Row(subject=c2, predicate=EXACT, object=c3)
+    df = spark.createDataFrame([m1, m2])
+
+    m1_hash = "081f943d3791dae3a85f8eb9190fee3fbdc47ba269a374e4a0a28a2b0b982625"
+    hash_df = spark.createDataFrame([(m1_hash,)], ["h"])
+    got = T.keep_triples_by_hash(df, converter, hash_df)
+    assert _rows(got) == [tuple(m1)]
+    # the helper column does not leak into the result
+    assert got.columns == ["subject", "predicate", "object"]
+
+    curies = spark.createDataFrame([Row(curie="CHEBI:1"), Row(curie="GO:3")])
+    cdf = spark.createDataFrame(
+        [Row(curie="CHEBI:1"), Row(curie="CHEBI:2"), Row(curie="GO:3")]
+    )
+    df_form = {r["curie"] for r in T.filter_df_by_curies(cdf, "curie", curies).collect()}
+    seq_form = {
+        r["curie"]
+        for r in T.filter_df_by_curies(cdf, "curie", ["CHEBI:1", "GO:3"]).collect()
+    }
+    assert df_form == seq_form == {"CHEBI:1", "GO:3"}
