@@ -215,6 +215,24 @@ def test_vocabulary_parity_with_reference():
         for k, v in ref_v.inversions.items()
     }
 
+    # zero missing NAMES of any kind: every public name the reference
+    # vocabulary module defines (constants, dicts, tuples, and the
+    # typing.Literal aliases SynonymScope / SynonymScopeOIO /
+    # SemanticMappingScope) resolves here too
+    import curies_spark.vocabulary as our_top
+
+    ref_public = [
+        name
+        for name, val in vars(ref_v).items()
+        if not name.startswith("_")
+        and not isinstance(val, type(ref_v))  # skip submodule imports
+        and name not in {"TypeAlias", "Literal", "NamedReference", "Reference"}
+    ]
+    missing_names = [n for n in ref_public if not hasattr(our_v, n)]
+    assert not missing_names, f"vocabulary names missing: {missing_names}"
+    # and the top-level module alias mirrors curies.vocabulary
+    assert all(hasattr(our_top, n) for n in ref_public)
+
 
 def test_triples_filters_match_reference(spark):
     """All §2.4 prefix filters + the M:N ops, run IN-PROCESS against the
