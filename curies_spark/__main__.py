@@ -1,10 +1,9 @@
-"""``python -m curies_spark`` → the KG-construction job entrypoint
-(reference __main__.py launches its CLI the same way; the engine's
-"CLI" is the spark-submit job, plans/submit_job.py)."""
+"""``python -m curies_spark`` → the CLI group (reference __main__.py
+launches its click CLI the same way): ``resolver`` / ``mapper`` serve
+the web apps, ``construct`` runs the KG construction Spark job
+(plans/submit_job.py)."""
 
-import sys
-
-from .plans.submit_job import main
+from .cli import main
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()

@@ -36,6 +36,8 @@ __all__ = [
     "CONTENT_TYPE_SYNONYMS",
     "CONTENT_TYPE_TO_FORMAT",
     "evaluate_sparql",
+    "get_fastapi_mapping_app",
+    "get_fastapi_mapping_router",
     "get_flask_mapping_app",
     "get_flask_mapping_blueprint",
     "handle_header",
@@ -65,9 +67,18 @@ CONTENT_TYPE_SYNONYMS = {
 #: IRI forms of the default mapping predicate's CURIE
 _OWL_SAMEAS_TOKENS = ("owl:sameAs", "<http://www.w3.org/2002/07/owl#sameAs>")
 
+class Lit(str):
+    """A binding value that is an RDF literal rather than an IRI.
+
+    ``evaluate_sparql`` marks BIND-produced strings with this subclass
+    so the serializers can type them (``"type": "literal"`` in JSON,
+    ``<literal>`` in XML) without changing the row shape."""
+
+
 _VALUES_RE = re.compile(
     r"VALUES\s*\(?\s*\?(\w+)\s*\)?\s*\{([^{}]*)\}", re.IGNORECASE
 )
+_BIND_RE = re.compile(r'BIND\s*\(\s*"([^"]*)"\s+as\s+\?(\w+)\s*\)\s*\.?', re.IGNORECASE)
 _IRI_RE = re.compile(r"<([^<>\s]+)>")
 _WHERE_RE = re.compile(r"WHERE\s*\{(.*)\}", re.IGNORECASE | re.DOTALL)
 _SELECT_RE = re.compile(
@@ -102,8 +113,18 @@ def _parse(sparql: str) -> "dict[str, Any]":
     where = _WHERE_RE.search(body_no_values)
     if where is None:
         raise ValueError("unsupported query: missing WHERE clause")
-    pattern = _PATTERN_RE.search(where.group(1))
+    where_body = where.group(1)
+
+    # literal BINDs (the reference's PING_SPARQL health-check shape,
+    # reference mapping_service/utils.py:29): a WHERE clause of only
+    # BIND("lit" as ?var) terms yields one all-literal row
+    binds = {var: value for value, var in _BIND_RE.findall(where_body)}
+    where_body = _BIND_RE.sub("", where_body)
+
+    pattern = _PATTERN_RE.search(where_body)
     if pattern is None:
+        if binds:
+            return {"projection": projection, "binds": binds, "values": values}
         raise ValueError("unsupported query: expected one triple pattern")
     subj_tok, pred_tok, obj_tok = pattern.groups()
 
@@ -143,6 +164,13 @@ def evaluate_sparql(
     the reference graph's ``triples()`` does under rdflib.
     """
     q = _parse(sparql)
+    if "binds" in q:
+        bind_vars = list(q["binds"])
+        if q["projection"] == "*":
+            out_vars = bind_vars
+        else:
+            out_vars = re.findall(r"\?(\w+)", q["projection"])
+        return out_vars, [{v: Lit(q["binds"][v]) for v in bind_vars}]
     subj, obj = q["subject"], q["object"]
     pred = _predicate_iris(graph, q["predicate"])
 
@@ -206,7 +234,12 @@ def serialize_results(
                 "results": {
                     "bindings": [
                         {
-                            var: {"type": "uri", "value": row[var]}
+                            var: {
+                                "type": "literal"
+                                if isinstance(row[var], Lit)
+                                else "uri",
+                                "value": row[var],
+                            }
                             for var in variables
                             if var in row
                         }
@@ -226,8 +259,9 @@ def serialize_results(
             parts.append("<result>")
             for var in variables:
                 if var in row:
+                    tag = "literal" if isinstance(row[var], Lit) else "uri"
                     parts.append(
-                        f'<binding name="{var}"><uri>{escape(row[var])}</uri></binding>'
+                        f'<binding name="{var}"><{tag}>{escape(row[var])}</{tag}></binding>'
                     )
             parts.append("</result>")
         parts.append("</results></sparql>")
@@ -313,4 +347,64 @@ def get_flask_mapping_app(converter: Any) -> "Any":
 
     app = Flask(__name__)
     app.register_blueprint(get_flask_mapping_blueprint(converter))
+    return app
+
+
+# ---------------------------------------------------------------------------
+# FastAPI surface (reference mapping_service/api.py:154-196, 208-220),
+# lazy like the Flask one: fastapi is imported at call time with a clear
+# ImportError where absent
+# ---------------------------------------------------------------------------
+
+
+def get_fastapi_mapping_router(
+    converter: Any, route: str = "/sparql", **kwargs: Any
+) -> "Any":
+    """Get a FastAPI router serving the mapping SPARQL endpoint."""
+    try:
+        from fastapi import APIRouter, Form, Header, Query, Response
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "get_fastapi_mapping_router requires fastapi; install it or "
+            "use get_flask_mapping_blueprint for the Flask variant"
+        ) from e
+
+    api_router = APIRouter(**kwargs)
+    graph = MappingServiceGraph(converter=converter)
+
+    def _resolve(accept: "str | None", sparql: str) -> "Any":
+        content_type = handle_header(accept)
+        try:
+            variables, rows = evaluate_sparql(graph, sparql)
+        except ValueError as e:
+            return Response(str(e), status_code=400)
+        payload = serialize_results(
+            variables, rows, CONTENT_TYPE_TO_FORMAT[content_type]
+        )
+        return Response(payload, media_type=content_type)
+
+    @api_router.get(route)
+    def resolve_get(
+        query: str = Query(description="The SPARQL query to run"),
+        accept: "str | None" = Header(default=None),
+    ) -> "Any":
+        return _resolve(accept, query)
+
+    @api_router.post(route)
+    def resolve_post(
+        query: str = Form(description="The SPARQL query to run"),
+        accept: "str | None" = Header(default=None),
+    ) -> "Any":
+        return _resolve(accept, query)
+
+    return api_router
+
+
+def get_fastapi_mapping_app(converter: Any) -> "Any":
+    """Get a FastAPI app for the mapping service."""
+    from fastapi import FastAPI
+
+    router = get_fastapi_mapping_router(converter)
+    app = FastAPI()
+    app.include_router(router)
     return app
