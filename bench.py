@@ -60,25 +60,39 @@ def _build_spark(cpus: str):
     )
 
 
-def _run_suite(spark, sf_dir: str) -> "tuple[dict[str, float], int]":
+#: timed runs per query after the warm run; the headline reports the
+#: best (the host has 3-11% CPU steal and up to 2x run-to-run wall
+#: variance — a single sample reads as a phantom regression)
+HEADLINE_RUNS = int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3"))
+
+
+def _run_suite(
+    spark, sf_dir: str
+) -> "tuple[dict[str, float], dict[str, float], int]":
+    import statistics
+
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
     # warm the JVM + parquet footers
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    times: dict[str, float] = {}
-    rows = 0
+    best: dict[str, float] = {}
+    median: dict[str, float] = {}
     for name in HEADLINE:
         df = queries[name](spark, sf_dir)
-        # steady-state timing: first run pays codegen compilation,
-        # broadcast construction, and AQE stage warmup; the second run is
-        # the per-query cost that actually scales with data
+        # steady-state timing: the warm run pays codegen compilation,
+        # broadcast construction, and AQE stage warmup; the timed runs
+        # are the per-query cost that actually scales with data
         df.write.mode("overwrite").format("noop").save()
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        walls = []
+        for _ in range(HEADLINE_RUNS):
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            walls.append(time.perf_counter() - t0)
+        best[name] = round(min(walls), 3)
+        median[name] = round(statistics.median(walls), 3)
     rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    return times, rows
+    return best, median, rows
 
 
 def main() -> None:
@@ -87,7 +101,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     spark = _build_spark(cpus)
-    times, lineitem_rows = _run_suite(spark, sf_dir)
+    times, median, lineitem_rows = _run_suite(spark, sf_dir)
     spark.stop()
 
     total = round(sum(times.values()), 3)
@@ -100,6 +114,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_median": median,
+        "runs_per_query": HEADLINE_RUNS,
+        "timing_policy": "best-of-N after one warm run",
         "sf": float(sf),
         "cpus": int(cpus),
         "lineitem_rows": lineitem_rows,
