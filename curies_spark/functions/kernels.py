@@ -474,18 +474,25 @@ def compress_col(
             prefix_expr.isNotNull(), F.concat(prefix_expr, F.lit(":"), ident_expr)
         )
     else:
-        get = _converter_value_getter(converter)
-
-        @F.arrow_udf(StringType())
-        def _compress(arr):
-            import pyarrow.compute as pc
-
-            prefixes, identifiers = _vectorized_longest_match(arr, get())
-            # element-wise join stays in Arrow; any-null → null (= miss)
-            return pc.binary_join_element_wise(prefixes, identifiers, ":")
-
-        compressed = _compress(c)
+        compressed = compress_udf(converter)(c)
     return F.coalesce(compressed, c) if passthrough else compressed
+
+
+def compress_udf(converter):
+    """The large-map compression kernel as a standalone arrow_udf —
+    shared by :func:`compress_col` and SQL-function registration
+    (:mod:`curies_spark.functions.sqlfuncs`)."""
+    get = _converter_value_getter(converter)
+
+    @F.arrow_udf(StringType())
+    def _compress(arr):
+        import pyarrow.compute as pc
+
+        prefixes, identifiers = _vectorized_longest_match(arr, get())
+        # element-wise join stays in Arrow; any-null → null (= miss)
+        return pc.binary_join_element_wise(prefixes, identifiers, ":")
+
+    return _compress
 
 
 # ---------------------------------------------------------------------------

@@ -125,6 +125,20 @@ class SparkConverter:
             subject, predicate, object, self.broadcast, negate=negate
         )
 
+    # -- SQL surface --------------------------------------------------------
+
+    def register_sql(self, *, name_prefix: str = "curies") -> "dict[str, str]":
+        """Register the conversion kernels as session-scoped SQL
+        functions (``curies_compress``, ``curies_expand``, …) so plain
+        ``spark.sql`` queries can call them; see
+        :func:`curies_spark.functions.sqlfuncs.register_sql_functions`.
+        Re-register after :meth:`rebroadcast` to pick up new state."""
+        from .sqlfuncs import register_sql_functions
+
+        return register_sql_functions(
+            self.spark, self.broadcast, name_prefix=name_prefix
+        )
+
     # -- bulk dataframe helpers (reference pd_* surface) -------------------
 
     def df_compress(
