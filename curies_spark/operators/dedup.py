@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 __all__ = [
     "connected_components",
@@ -35,6 +35,8 @@ __all__ = [
     "exact_dup_groups",
     "minhash_candidate_pairs",
     "minhash_signature",
+    "minhash_signature_col",
+    "minhash_signature_exploded",
     "ngram_jaccard_pairs",
     "shingle_hash_col",
     "shingles_col",
@@ -103,8 +105,25 @@ def exact_dup_groups(df: DataFrame, *, text: str = "text", id_col: str = "doc_id
 def minhash_signature(
     df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
-    """Per-document MinHash signature: N_PERM min-aggregates over the
-    shingle hashes — a single shuffle keyed by document id."""
+    """Per-document MinHash signature via the shuffle-free batch kernel
+    (:func:`minhash_signature_col`). Output schema and values are
+    identical to :func:`minhash_signature_exploded` (the differential
+    twin) — but as a map-only pass: no shingle explosion is ever
+    shuffled, so at corpus scale the signature stage costs a single
+    read of the text column instead of a ~k×-the-corpus shuffle."""
+    sig = minhash_signature_col(F.col(text), k=k)
+    return df.select(F.col(id_col), sig.alias("_mh")).select(
+        id_col, *[F.col("_mh")[i].alias(f"mh{i}") for i in range(N_PERM)]
+    )
+
+
+def minhash_signature_exploded(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature as N_PERM min-aggregates over the
+    exploded shingle hashes — one shuffle keyed by document id. The
+    set-based twin of :func:`minhash_signature` (same values; kept for
+    differential testing and as the oracle-shaped form)."""
     exploded = df.select(
         F.col(id_col), F.explode(shingles_col(text, k=k)).alias("_sh")
     ).select(F.col(id_col), shingle_hash_col(F.col("_sh")).alias("_h"))
@@ -115,6 +134,89 @@ def minhash_signature(
         for i in range(N_PERM)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signature_col(text: "Column | str", *, k: int = 3) -> Column:
+    """Array of the N_PERM MinHash values per document — an Arrow-batched
+    kernel with no per-row Python: the batch is tokenized with pandas'
+    C string kernels, k-token shingle windows are built with vectorized
+    object-array concatenation over the flat token array, sha256 runs
+    once per DISTINCT shingle (``pd.factorize``), and the per-document
+    minima are ``np.minimum.reduceat`` segment reductions.
+
+    Matches :func:`shingle_hash_col` exactly (first 6 sha256 bytes,
+    big-endian = the first 12 hex chars as a base-16 number) and
+    :func:`shingles_col`'s short-document rule (fewer than ``k`` tokens
+    → one shingle joining all tokens; NULL/empty text → the ``""``
+    shingle). Tokenization lowercases and splits on whitespace — like
+    :func:`simhash_col`, Python's (Unicode) whitespace classes, which
+    agree with the JVM form on ASCII input.
+    """
+    import numpy as np
+
+    c = F.col(text) if isinstance(text, str) else text
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _minhash(series: pd.Series) -> pd.Series:
+        import hashlib
+        from itertools import chain
+
+        n = len(series)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        token_lists = series.str.lower().str.split()
+        counts = (
+            token_lists.str.len().astype("float64").fillna(0.0).astype(np.int64).to_numpy()
+        )
+        flat = np.array(
+            list(chain.from_iterable(token_lists.dropna())), dtype=object
+        )
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+        # every document contributes >= 1 shingle (short docs join all
+        # their tokens; token-less docs contribute "")
+        wc = np.where(counts >= k, counts - k + 1, 1)
+        seg_starts = np.concatenate(([0], np.cumsum(wc)[:-1]))
+        shingles = np.empty(int(wc.sum()), dtype=object)
+
+        long_docs = counts >= k
+        if long_docs.any():
+            lw = wc[long_docs]
+            within = np.arange(lw.sum()) - np.repeat(
+                np.concatenate(([0], np.cumsum(lw)[:-1])), lw
+            )
+            win_start = np.repeat(offsets[long_docs], lw) + within
+            s = flat[win_start]
+            for j in range(1, k):
+                s = s + " " + flat[win_start + j]
+            shingles[np.repeat(seg_starts[long_docs], lw) + within] = s
+        short_docs = ~long_docs
+        if short_docs.any():
+            joined = (
+                token_lists[short_docs].str.join(" ").fillna("").to_numpy(dtype=object)
+            )
+            shingles[seg_starts[short_docs]] = joined
+
+        # one sha256 per DISTINCT shingle, then gather
+        codes, uniques = pd.factorize(shingles)
+        uniq_hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest()[:6], "big")
+                for t in uniques
+            ),
+            dtype=np.int64,
+            count=len(uniques),
+        )
+        h = uniq_hashes[codes]
+
+        sig = np.empty((n, N_PERM), dtype=np.int64)
+        for i, (a, b) in enumerate(zip(_A, _B)):
+            # a*h + b < 59·2^48 + 2^8 < 2^61 - 1: exact in int64 and the
+            # mod is the identity, matching the JVM expression
+            sig[:, i] = np.minimum.reduceat((a * h + b) % MINHASH_PRIME, seg_starts)
+        return pd.Series(sig.tolist())
+
+    return _minhash(c)
 
 
 def minhash_candidate_pairs(

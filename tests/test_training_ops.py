@@ -494,6 +494,57 @@ def test_simhash_vectorized_differential(spark):
         assert got[i] == D._simhash_reference_one(t), (i, t)
 
 
+def test_minhash_batch_kernel_matches_exploded(spark):
+    """The shuffle-free MinHash batch kernel must produce signatures
+    identical to the explode+groupBy form on every edge shape: nulls,
+    empty/whitespace-only text, short docs (< k tokens), exactly-k,
+    repeats, case folding, long docs."""
+    texts = [
+        "hello world hello again and again",
+        "",
+        "   ",
+        None,
+        "one",
+        "one two",
+        "one two three",          # exactly k tokens → one window
+        "one two three four",
+        "Repeat repeat REPEAT repeat words words",
+        "x " * 300,
+        "the quick brown fox jumps over the lazy dog " * 5,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    batch = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(D.N_PERM))
+        for r in D.minhash_signature(df).collect()
+    }
+    exploded = {
+        r["doc_id"]: tuple(r[f"mh{i}"] for i in range(D.N_PERM))
+        for r in D.minhash_signature_exploded(df).collect()
+    }
+    assert set(batch) == set(exploded) == set(range(len(texts)))
+    for i in batch:
+        assert batch[i] == exploded[i], (i, texts[i])
+
+
+def test_minhash_signature_plan_has_no_shuffle(spark, docs):
+    """The batch-kernel signature is a map-only pass: no Exchange in
+    the physical plan (the exploded twin shuffles by construction)."""
+    plan = (
+        D.minhash_signature(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    twin = (
+        D.minhash_signature_exploded(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in twin
+
+
 def test_ann_probe_reads_build_params(spark, tmp_path):
     """Probing defaults to the index's OWN build parameters (from the
     _params side table); explicit mismatching params fail loud instead

@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPLICAS = int(os.environ.get("SPARK_GRAFT_TEXT_REPLICAS", "64"))
@@ -30,7 +32,6 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
 
-    import pandas as pd
     from pyspark.sql import SparkSession, functions as F
     from pyspark.sql.types import LongType
 
@@ -44,11 +45,27 @@ def main() -> None:
         .getOrCreate()
     )
 
-    from curies_spark.operators.dedup import (
-        _simhash_reference_one,
-        minhash_signature,
-        simhash_col,
-    )
+    from curies_spark.operators.dedup import minhash_signature, simhash_col
+
+    def _per_row_simhash(s):
+        """Faithful per-row twin of the pre-vectorization kernel: one
+        sha256 per token, then per-bit majority votes in Python."""
+        import hashlib
+
+        if s is None:
+            return None
+        tokens = s.lower().split()
+        if not tokens:
+            return 0
+        hs = [
+            int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest()[:8], "big")
+            for t in tokens
+        ]
+        word = 0
+        for b in range(64):
+            if sum(1 if (h >> b) & 1 else -1 for h in hs) > 0:
+                word |= 1 << b
+        return word - (1 << 64) if word >= (1 << 63) else word
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # deterministic expansion: replica r appends a marker token so
@@ -62,6 +79,9 @@ def main() -> None:
                 "text"
             ),
         )
+        # the base table is one parquet file → one partition; spread the
+        # expansion before checkpointing or every kernel runs single-core
+        .repartition(int(cpus) * 2)
         .localCheckpoint()  # exclude expansion cost from kernel timings
     )
     n = corpus.count()
@@ -82,9 +102,15 @@ def main() -> None:
     # single replica — same transport, per-row Python inner loop
     @F.pandas_udf(LongType())
     def _simhash_per_row(series: pd.Series) -> pd.Series:
-        return series.map(_simhash_reference_one).astype("Int64")
+        return series.map(_per_row_simhash).astype("Int64")
 
-    sample = corpus.where(F.col("doc_id") % REPLICAS == 0).localCheckpoint()
+    # a quarter of the corpus: big enough that per-doc marginal cost
+    # dominates the ~0.4s fixed per-pass overhead on both paths
+    sample = (
+        corpus.where(F.col("doc_id") % 4 == 0)
+        .repartition(int(cpus) * 2)
+        .localCheckpoint()
+    )
     n_sample = sample.count()
     per_row_wall = timed(sample.select("doc_id", _simhash_per_row("text").alias("sig")))
     vec_sample_wall = timed(sample.select("doc_id", simhash_col("text").alias("sig")))
