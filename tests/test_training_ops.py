@@ -526,6 +526,32 @@ def test_minhash_batch_kernel_matches_exploded(spark):
         assert batch[i] == exploded[i], (i, texts[i])
 
 
+def test_minhash_batch_kernel_random_corpus(spark):
+    """Randomized differential: 400 docs with mixed ASCII whitespace
+    (spaces, tabs, newlines, runs), repeated tokens, case noise, and
+    token counts straddling the shingle size — batch kernel ≡ exploded."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "Beta", "GAMMA", "delta0", "x", "ü", "a:b", "1.5", "-"]
+    seps = [" ", "  ", "\t", "\n", " \t ", "\n\n"]
+    texts = []
+    for _ in range(400):
+        k = rng.randint(0, 12)
+        toks = rng.choices(vocab, k=k)
+        sep = rng.choice(seps)
+        texts.append(rng.choice(["", " ", sep]).join([sep.join(toks)]) if k else "")
+    texts += [sep.join(rng.choices(vocab, k=3)) for sep in seps]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    batch = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(D.N_PERM))
+             for r in D.minhash_signature(df).collect()}
+    exploded = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(D.N_PERM))
+                for r in D.minhash_signature_exploded(df).collect()}
+    assert batch == exploded
+
+
 def test_minhash_signature_plan_has_no_shuffle(spark, docs):
     """The batch-kernel signature is a map-only pass: no Exchange in
     the physical plan (the exploded twin shuffles by construction)."""
