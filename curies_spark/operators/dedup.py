@@ -44,10 +44,34 @@ __all__ = [
     "simhash_candidate_pairs",
 ]
 
-#: MinHash permutation parameters (a*h + b mod P), deterministic.
-MINHASH_PRIME = 2305843009213693951  # 2^61 - 1
-_A = [3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59]
-_B = [17, 29, 41, 53, 67, 79, 97, 107, 127, 137, 149, 163, 179, 191, 211, 223]
+#: MinHash permutations: ``h_i = h XOR _R[i]`` over the 48-bit
+#: shingle-hash domain. XOR by a fixed constant is a genuine permutation
+#: whose argmin differs per constant. The earlier affine form
+#: ``(a·h + b) mod (2^61-1)`` was monotone in h — ``a·h + b < 2^54``
+#: never wrapped the modulus, so every "permutation" selected the SAME
+#: argmin shingle and the 16 signature values collapsed to one degree
+#: of freedom (pairwise estimates were always exactly 0 or 1). The
+#: constants are the first 48 bits of sha256("curies-spark-minhash-i"),
+#: written out as literals so external engines (the DuckDB oracle)
+#: reproduce them exactly.
+_R = [
+    60469897202314,
+    157039825766438,
+    80656884667095,
+    33245826153272,
+    177231481853870,
+    270809246741023,
+    24659693644905,
+    2572754940638,
+    130313897361400,
+    248948492149496,
+    209943079180975,
+    217500075938920,
+    30879825289311,
+    45459217945740,
+    101331451299856,
+    95423187714894,
+]
 N_PERM = 16
 BAND_SIZE = 4  # 4 bands × 4 rows
 
@@ -128,9 +152,7 @@ def minhash_signature_exploded(
         F.col(id_col), F.explode(shingles_col(text, k=k)).alias("_sh")
     ).select(F.col(id_col), shingle_hash_col(F.col("_sh")).alias("_h"))
     aggs = [
-        F.min((F.lit(_A[i]) * F.col("_h") + F.lit(_B[i])) % F.lit(MINHASH_PRIME)).alias(
-            f"mh{i}"
-        )
+        F.min(F.col("_h").bitwiseXOR(F.lit(_R[i]))).alias(f"mh{i}")
         for i in range(N_PERM)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -210,10 +232,10 @@ def minhash_signature_col(text: "Column | str", *, k: int = 3) -> Column:
         h = uniq_hashes[codes]
 
         sig = np.empty((n, N_PERM), dtype=np.int64)
-        for i, (a, b) in enumerate(zip(_A, _B)):
-            # a*h + b < 59·2^48 + 2^8 < 2^61 - 1: exact in int64 and the
-            # mod is the identity, matching the JVM expression
-            sig[:, i] = np.minimum.reduceat((a * h + b) % MINHASH_PRIME, seg_starts)
+        for i, r in enumerate(_R):
+            # h < 2^48 and r < 2^48: XOR stays in int64, matching the
+            # JVM bitwiseXOR exactly
+            sig[:, i] = np.minimum.reduceat(h ^ np.int64(r), seg_starts)
         return pd.Series(sig.tolist())
 
     return _minhash(c)

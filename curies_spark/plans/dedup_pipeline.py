@@ -1,0 +1,207 @@
+"""End-to-end corpus deduplication pipeline for training-data curation.
+
+Composes the dedup operators into one resumable job over a documents
+table (``doc_id, text, …``):
+
+1. **Stage** — ONE pass over the corpus text computes everything any
+   later stage needs: ``sha2`` content hash (exact dedup), the MinHash
+   signature (near dedup — the shuffle-free batch kernel,
+   operators/dedup.py ``minhash_signature_col``), token count and
+   quality score (filter audit). Written once as parquet; every later
+   stage reads the staged columns, NEVER the text again. At 100 TB the
+   text is the corpus — reading it once is the difference between a
+   feasible job and an infeasible one (same design as the KG
+   pipeline's one-pass shard staging, plans/pipeline.py).
+2. **Exact groups** — hash groupBy on the 256-bit content hash
+   (uniform keys, no skew), min-id winner per group.
+3. **LSH candidates** — band-key equi-join on the staged signatures
+   (operators/dedup.py ``minhash_candidate_pairs``'s banding, applied
+   to the staged table so signatures are not recomputed). Never
+   all-pairs.
+4. **Verify** — estimated Jaccard from signature agreement (the
+   fraction of the N_PERM minhash values two documents share — the
+   standard unbiased LSH estimator). Pure column arithmetic over the
+   candidate pairs; the text column is untouched. Pairs below
+   ``min_est_jaccard`` are dropped.
+5. **Cluster** — connected components over surviving pairs
+   (min-label propagation, lineage cut per round).
+6. **Survivors** — one representative (min doc_id) per near-dup
+   cluster plus every untouched document; exact duplicates collapse
+   to their group winner first, so a near-dup cluster of exact
+   duplicates costs one component node, not one per copy.
+
+Outputs under ``out_dir``: ``staged/`` (hash+signature+quality),
+``pairs/`` (verified near-dup pairs with their estimate),
+``clusters/`` (doc_id → component), ``survivors/`` (the deduped
+doc_id set), and ``manifest.json`` with per-stage counts. The staged
+write is the only pass over the text; re-running with the same
+``out_dir`` resumes after staging (manifest-gated, like the KG
+pipeline's shard resume).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import (
+    BAND_SIZE,
+    N_PERM,
+    connected_components,
+    minhash_signature_col,
+)
+from ..operators.text import quality_features, quality_score_col
+
+__all__ = [
+    "band_pairs",
+    "estimated_jaccard_col",
+    "run_dedup_pipeline",
+    "stage_documents",
+]
+
+
+def stage_documents(
+    df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """The single pass over the corpus text: content hash, MinHash
+    signature, quality features + keep/drop gate — all map-only (the
+    plan has no Exchange; asserted in tests)."""
+    featured = quality_features(df.select(id_col, text), text=text)
+    return featured.select(
+        F.col(id_col),
+        F.sha2(F.col(text), 256).alias("content_hash"),
+        minhash_signature_col(F.col(text), k=k).alias("mh"),
+        F.col("q_tokens").alias("n_tokens"),
+        quality_score_col().alias("quality_keep"),
+    )
+
+
+def band_pairs(
+    staged: DataFrame, *, id_col: str = "doc_id", sig: str = "mh"
+) -> DataFrame:
+    """LSH candidate pairs from staged signatures: documents agreeing
+    on any (band, band-values) key; returns distinct (id_a, id_b),
+    id_a < id_b — bucketed equi-join, never all-pairs."""
+    n_bands = N_PERM // BAND_SIZE
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.slice(F.col(sig), b * BAND_SIZE + 1, BAND_SIZE).alias("key"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = staged.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, "bk.band", "bk.key")
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def estimated_jaccard_col(sig_a, sig_b) -> "F.Column":
+    """Unbiased LSH Jaccard estimate: the fraction of the N_PERM
+    minhash values on which the two signatures agree."""
+    matches = F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int"))
+    return F.aggregate(matches, F.lit(0), lambda acc, x: acc + x) / F.lit(N_PERM)
+
+
+def run_dedup_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_est_jaccard: float = 0.5,
+    resume: bool = True,
+) -> "dict":
+    """Run the full dedup pipeline; returns the manifest dict."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+
+    staged_path = str(out / "staged")
+    if not (resume and (out / "staged" / "_SUCCESS").exists()):
+        stage_documents(docs, text=text, id_col=id_col, k=k).write.mode(
+            "overwrite"
+        ).parquet(staged_path)
+    staged = spark.read.parquet(staged_path)
+
+    # exact dedup first: one winner per content hash; near-dup stages
+    # then operate on exact-group winners only
+    winners = (
+        staged.groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_n"))
+    )
+    n_exact_dups = winners.filter(F.col("_n") > 1).count()
+    staged_winners = staged.join(
+        winners.select(id_col), on=id_col, how="left_semi"
+    )
+
+    candidates = band_pairs(staged_winners, id_col=id_col)
+    sig = staged.select(F.col(id_col), F.col("mh"))
+    verified = (
+        candidates.join(
+            sig.select(F.col(id_col).alias("id_a"), F.col("mh").alias("_ma")),
+            on="id_a",
+        )
+        .join(
+            sig.select(F.col(id_col).alias("id_b"), F.col("mh").alias("_mb")),
+            on="id_b",
+        )
+        .withColumn("est_jaccard", estimated_jaccard_col(F.col("_ma"), F.col("_mb")))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    pairs_path = str(out / "pairs")
+    verified.write.mode("overwrite").parquet(pairs_path)
+    verified = spark.read.parquet(pairs_path)
+    n_pairs = verified.count()
+
+    components = connected_components(verified)
+    clusters_path = str(out / "clusters")
+    components.write.mode("overwrite").parquet(clusters_path)
+    components = spark.read.parquet(clusters_path)
+    n_clustered = components.count()
+
+    cluster_winners = components.groupBy("component").agg(
+        F.min("node").alias(id_col)
+    )
+    clustered_ids = components.select(F.col("node").alias(id_col))
+    survivors = (
+        staged_winners.join(clustered_ids, on=id_col, how="left_anti")
+        .select(id_col)
+        .unionByName(cluster_winners.select(id_col))
+    )
+    survivors_path = str(out / "survivors")
+    survivors.write.mode("overwrite").parquet(survivors_path)
+
+    manifest = {
+        "input_docs": docs.count(),
+        "staged_docs": staged.count(),
+        "exact_dup_groups_gt1": n_exact_dups,
+        "exact_winners": winners.count(),
+        "candidate_pairs": candidates.count(),
+        "verified_pairs": n_pairs,
+        "clustered_docs": n_clustered,
+        "survivors": spark.read.parquet(survivors_path).count(),
+        "min_est_jaccard": min_est_jaccard,
+        "k": k,
+        "wall_sec": round(time.perf_counter() - t0, 2),
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=1))
+    return manifest

@@ -10,7 +10,7 @@ so the driver's value-hash comparison is byte-exact.
 
 from __future__ import annotations
 
-from ..operators.dedup import _A, _B, BAND_SIZE, MINHASH_PRIME, N_PERM
+from ..operators.dedup import _R, BAND_SIZE, N_PERM
 from ..operators.similarity import hyperplanes
 from ..operators.text import BPE_TOKEN_RE, LANG_MARKERS, PUNCT_CLASS
 
@@ -88,10 +88,8 @@ _SHINGLE_HASH = "(('0x' || substr(sha256(shingle), 1, 12))::BIGINT)"
 def oracle_minhash_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
     """Per-document MinHash signature, mirroring
     :func:`curies_spark.operators.dedup.minhash_signature`."""
-    aggs = ", ".join(
-        f"min(({_A[i]} * h + {_B[i]}) % {MINHASH_PRIME}) AS mh{i}"
-        for i in range(N_PERM)
-    )
+    # xor(): DuckDB's bitwise XOR (its ^ operator is exponentiation)
+    aggs = ", ".join(f"min(xor(h, {_R[i]})) AS mh{i}" for i in range(N_PERM))
     return (
         f"{_shingle_cte(docs_sql)}, "
         f"hashed AS (SELECT doc_id, {_SHINGLE_HASH} AS h FROM sh) "

@@ -1,0 +1,108 @@
+"""End-to-end corpus dedup pipeline (plans/dedup_pipeline.py): one
+text pass, LSH candidates from staged signatures, signature-estimate
+verification, components, survivors — plus resume semantics and the
+map-only staging plan."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from curies_spark.plans import dedup_pipeline as P
+
+
+@pytest.fixture()
+def corpus(spark):
+    # long enough that a one-token edit leaves most shingles (and so
+    # most minhash minima) intact → the band join must find the pairs
+    base = (
+        "the quick brown fox jumps over the lazy dog and then some more words "
+        "follow here while the pipeline stages compute hashes signatures and "
+        "quality features for every document in the corpus so that near "
+        "duplicates cluster together and only representative survivors remain"
+    )
+    rows = []
+    # exact-duplicate family: 3 copies
+    for i in (0, 1, 2):
+        rows.append(Row(doc_id=i, text=base))
+    # near-duplicate family: one-token edits of base
+    rows.append(Row(doc_id=10, text=base.replace("lazy", "sleepy")))
+    rows.append(Row(doc_id=11, text=base.replace("quick", "rapid")))
+    # unrelated docs
+    rows.append(Row(doc_id=20, text="completely different content about spark plans"))
+    rows.append(Row(doc_id=21, text="another unrelated short document entirely"))
+    rows.append(Row(doc_id=22, text=None))
+    rows.append(Row(doc_id=23, text=""))
+    return spark.createDataFrame(rows)
+
+
+def test_pipeline_end_to_end(spark, corpus, tmp_path):
+    out = str(tmp_path / "dedup")
+    manifest = P.run_dedup_pipeline(spark, corpus, out, min_est_jaccard=0.4)
+
+    assert manifest["input_docs"] == 9
+    assert manifest["exact_dup_groups_gt1"] >= 1  # the 3-copy family
+    # null and "" tokenize to the same one-shingle doc → exact-distinct
+    # but near-identical; the base family collapses to min ids
+    survivors = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/survivors").collect()
+    }
+    # 0 survives for the exact family; 1,2 gone
+    assert 0 in survivors and 1 not in survivors and 2 not in survivors
+    # near-dups of 0 (10, 11) should cluster with it at est_jaccard 0.4
+    assert 10 not in survivors and 11 not in survivors
+    # unrelated docs survive
+    assert 20 in survivors and 21 in survivors
+    assert manifest["survivors"] == len(survivors)
+
+    with open(f"{out}/manifest.json") as fh:
+        on_disk = json.load(fh)
+    assert on_disk["verified_pairs"] == manifest["verified_pairs"]
+
+
+def test_staging_is_map_only(spark, corpus):
+    plan = (
+        P.stage_documents(corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_verification_drops_weak_pairs(spark, corpus, tmp_path):
+    strict = P.run_dedup_pipeline(
+        spark, corpus, str(tmp_path / "strict"), min_est_jaccard=0.999
+    )
+    loose = P.run_dedup_pipeline(
+        spark, corpus, str(tmp_path / "loose"), min_est_jaccard=0.05
+    )
+    assert strict["verified_pairs"] <= loose["verified_pairs"]
+    assert strict["survivors"] >= loose["survivors"]
+
+
+def test_resume_skips_staging(spark, corpus, tmp_path, monkeypatch):
+    out = str(tmp_path / "resume")
+    P.run_dedup_pipeline(spark, corpus, out)
+
+    def boom(*a, **k):
+        raise AssertionError("staging must not recompute on resume")
+
+    monkeypatch.setattr(P, "stage_documents", boom)
+    manifest = P.run_dedup_pipeline(spark, corpus, out, resume=True)
+    assert manifest["staged_docs"] == 9
+    with pytest.raises(AssertionError):
+        P.run_dedup_pipeline(spark, corpus, out, resume=False)
+
+
+def test_estimator_matches_hand_count(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1, 2, 3, 4] * 4, b=[1, 2, 3, 9] * 4)]
+    )
+    got = df.select(
+        P.estimated_jaccard_col(F.col("a"), F.col("b")).alias("e")
+    ).first()["e"]
+    assert got == pytest.approx(12 / 16)
