@@ -191,7 +191,10 @@ def run_dedup_pipeline(
     survivors.write.mode("overwrite").parquet(survivors_path)
 
     manifest = {
-        "input_docs": docs.count(),
+        # counted on the narrow staged table: counting the raw corpus
+        # would re-touch the text files (the staging pass must stay the
+        # ONLY read of the text — bench_dedup_pipeline.py proves it)
+        "input_docs": staged.count(),
         "staged_docs": staged.count(),
         "exact_dup_groups_gt1": n_exact_dups,
         "exact_winners": winners.count(),
