@@ -1,5 +1,11 @@
-"""Structured Streaming variants of the KG pipeline."""
+"""Structured Streaming variants of the KG pipeline and dedup stages."""
 
+from .dedup import (
+    DOC_SCHEMA,
+    read_document_stream,
+    start_dedup_stream,
+    stream_stage_documents,
+)
 from .ingest import (
     REPO_SCHEMA,
     read_repo_stream,
@@ -10,10 +16,14 @@ from .ingest import (
 )
 
 __all__ = [
+    "DOC_SCHEMA",
     "REPO_SCHEMA",
+    "read_document_stream",
     "read_repo_stream",
+    "start_dedup_stream",
     "start_triples_stream",
     "stream_discover_prefixes",
     "stream_file_edges",
     "stream_prefix_counts",
+    "stream_stage_documents",
 ]

@@ -158,3 +158,83 @@ def test_stream_prefix_counts_windowed(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_cross_batch_pairs(spark, tmp_path):
+    """Streaming near-dup: wave-2 documents must pair against wave-1
+    signatures from the accumulated store; replaying the drained stream
+    changes nothing (idempotent batch-scoped writes)."""
+    from pyspark.sql import Row
+
+    from curies_spark.streaming import start_dedup_stream
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    base = " ".join(f"word{i}" for i in range(50))
+    wave1 = spark.createDataFrame(
+        [Row(doc_id=1, text=base),
+         Row(doc_id=2, text="something unrelated entirely different")]
+    )
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    def pairs():
+        import glob
+        dirs = glob.glob(f"{out}/pairs/batch=*")
+        if not dirs:
+            return set()
+        df = spark.read.parquet(*dirs)
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    assert pairs() == set()  # nothing similar within wave 1
+
+    # wave 2: a near-duplicate of doc 1 arrives later
+    wave2 = spark.createDataFrame(
+        [Row(doc_id=10, text=base.replace("word25", "edited"))]
+    )
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got = pairs()
+    assert (1, 10) in got, got
+
+    # drained replay: no new batches, nothing changes
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    assert pairs() == got
+
+
+def test_stream_staging_matches_batch(spark, tmp_path):
+    """The streamed staging pass produces exactly the batch pipeline's
+    staged rows (same stateless plan)."""
+    from pyspark.sql import Row
+
+    from curies_spark.plans.dedup_pipeline import stage_documents
+    from curies_spark.streaming import read_document_stream, stream_stage_documents
+
+    src = str(tmp_path / "sdocs")
+    sink = str(tmp_path / "staged_out")
+    ckpt = str(tmp_path / "sckpt")
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc number {i} with words {i * 3}") for i in range(20)]
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = (
+        stream_stage_documents(read_document_stream(spark, src))
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink).orderBy("doc_id").collect()
+    want = stage_documents(docs).orderBy("doc_id").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
