@@ -18,11 +18,14 @@ after a crash rewrites its own output instead of duplicating it —
 idempotent, hence exactly-once end-to-end with the source checkpoint.
 
 At scale the store join stays bucketed (band-key equi-join, never
-all-pairs) and the store carries only ``(doc_id, mh)`` — signatures,
-never text; its growth is the corpus's unique-document rate, and the
-band join's shuffle is proportional to the BATCH, not the store, once
-the store side is bucketed/partitioned by band key in a real
-deployment (partitioned-store layout noted inline).
+all-pairs) and the store carries only ``(doc_id, mh, content_hash)``
+— signatures, never text; its growth is the corpus's unique-CONTENT
+rate, because exact duplicates collapse before banding (identical
+contents have identical signatures, so banding them is quadratic in
+the family size — each copy instead emits one pair to its family's
+canonical id). The band join's shuffle is proportional to the BATCH,
+not the store, once the store side is bucketed/partitioned by band
+key in a real deployment (partitioned-store layout noted inline).
 """
 
 from __future__ import annotations
@@ -52,9 +55,17 @@ DOC_SCHEMA = StructType(
 )
 
 
-def read_document_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def read_document_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
     """File-source stream of documents parquet landing in a directory."""
-    return spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
 
 
 def stream_stage_documents(docs: DataFrame, *, k: int = 3) -> DataFrame:
@@ -64,25 +75,28 @@ def stream_stage_documents(docs: DataFrame, *, k: int = 3) -> DataFrame:
     return _stage(docs, k=k)
 
 
-def _pair_batch(
-    staged_batch: DataFrame,
-    store_path: str,
+def _read_store(spark: SparkSession, store_path: str) -> "DataFrame | None":
+    dirs = [str(p.parent) for p in Path(store_path).glob("*/_SUCCESS")]
+    return spark.read.parquet(*dirs) if dirs else None
+
+
+def _near_pairs(
+    novel: DataFrame,
+    store: "DataFrame | None",
     *,
     min_est_jaccard: float,
 ) -> DataFrame:
-    """Near-dup pairs of the new batch: within-batch pairs plus
-    batch-vs-store pairs, signature-estimate verified."""
-    spark = staged_batch.sparkSession
-    store_dir = Path(store_path)
+    """Near-dup pairs among exact-novel batch docs + vs the store,
+    signature-estimate verified."""
     sig_cols = ("doc_id", "mh")
-    if any(store_dir.glob("*/_SUCCESS")):
-        store = spark.read.parquet(*[str(p.parent) for p in store_dir.glob("*/_SUCCESS")])
-        combined = staged_batch.select(*sig_cols).unionByName(store.select(*sig_cols))
-    else:
-        combined = staged_batch.select(*sig_cols)
+    combined = (
+        novel.select(*sig_cols).unionByName(store.select(*sig_cols))
+        if store is not None
+        else novel.select(*sig_cols)
+    )
     # band join over batch+store, keeping only pairs touching the batch:
     # a (store, store) pair was already emitted by an earlier batch
-    new_ids = staged_batch.select("doc_id")
+    new_ids = novel.select("doc_id")
     pairs = band_pairs(combined)
     pairs = pairs.join(
         new_ids.withColumnRenamed("doc_id", "id_a"), on="id_a", how="left_semi"
@@ -107,6 +121,64 @@ def _pair_batch(
     )
 
 
+def _pair_batch(
+    staged_batch: DataFrame,
+    store_path: str,
+    *,
+    min_est_jaccard: float,
+) -> "tuple[DataFrame, DataFrame]":
+    """Returns (pairs, novel): the batch's duplicate pairs and the
+    exact-novel staged rows to append to the store.
+
+    Exact duplicates are collapsed BEFORE the band join — identical
+    contents share identical signatures, so banding them directly is
+    quadratic in the duplicate-family size (a document repeated 10^6
+    times would emit ~10^12 band pairs). Instead each exact copy emits
+    ONE pair to its family's canonical id (est_jaccard = 1.0: the true
+    Jaccard of identical shingle sets), and only unique contents enter
+    the band join and the store — the same exact-winners-first order as
+    the batch pipeline."""
+    spark = staged_batch.sparkSession
+    store = _read_store(spark, store_path)
+
+    # within-batch exact collapse: min doc_id per content hash
+    canon = staged_batch.groupBy("content_hash").agg(
+        F.min("doc_id").alias("_canon")
+    )
+    with_canon = staged_batch.join(canon, on="content_hash")
+    batch_exact = (
+        with_canon.filter(F.col("doc_id") != F.col("_canon"))
+        .select(
+            F.col("_canon").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    winners = with_canon.filter(F.col("doc_id") == F.col("_canon")).drop("_canon")
+
+    if store is not None:
+        # winners whose content already lives in the store: one exact
+        # pair to the store's id, and they do NOT re-enter store/banding
+        store_hashes = store.select(
+            F.col("content_hash"), F.col("doc_id").alias("_store_id")
+        )
+        matched = winners.join(store_hashes, on="content_hash")
+        store_exact = matched.select(
+            F.col("_store_id").alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+        novel = winners.join(store_hashes, on="content_hash", how="left_anti")
+        exact_pairs = batch_exact.unionByName(store_exact)
+    else:
+        novel = winners
+        exact_pairs = batch_exact
+
+    novel = novel.localCheckpoint()
+    near = _near_pairs(novel, store, min_est_jaccard=min_est_jaccard)
+    return exact_pairs.unionByName(near), novel
+
+
 def start_dedup_stream(
     spark: SparkSession,
     source_dir: str,
@@ -116,6 +188,7 @@ def start_dedup_stream(
     k: int = 3,
     min_est_jaccard: float = 0.5,
     available_now: bool = True,
+    max_files_per_trigger: "int | None" = None,
 ) -> StreamingQuery:
     """Start (or resume) the streaming near-dup detector.
 
@@ -133,16 +206,18 @@ def start_dedup_stream(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         staged = _stage(batch, k=k).localCheckpoint()
-        pairs = _pair_batch(
+        pairs, novel = _pair_batch(
             staged, store_path, min_est_jaccard=min_est_jaccard
         )
         pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
-        staged.select("doc_id", "mh").write.mode("overwrite").parquet(
-            f"{store_path}/batch={batch_id}"
-        )
+        novel.select("doc_id", "mh", "content_hash").write.mode(
+            "overwrite"
+        ).parquet(f"{store_path}/batch={batch_id}")
 
     writer = (
-        read_document_stream(spark, source_dir)
+        read_document_stream(
+            spark, source_dir, max_files_per_trigger=max_files_per_trigger
+        )
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
     )

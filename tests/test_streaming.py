@@ -238,3 +238,49 @@ def test_stream_staging_matches_batch(spark, tmp_path):
     got = spark.read.parquet(sink).orderBy("doc_id").collect()
     want = stage_documents(docs).orderBy("doc_id").collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_stream_dedup_collapses_exact_families(spark, tmp_path):
+    """Exact duplicates must emit ONE pair each to the family canon
+    (linear), not band-join quadratically; only unique contents enter
+    the store."""
+    from pyspark.sql import Row
+
+    from curies_spark.streaming import start_dedup_stream
+
+    src = str(tmp_path / "exdocs")
+    out = str(tmp_path / "exout")
+    ckpt = str(tmp_path / "exckpt")
+    base = " ".join(f"tok{i}" for i in range(40))
+
+    # wave 1: 4 exact copies + 1 unrelated
+    spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in (1, 2, 3, 4)]
+        + [Row(doc_id=9, text="unrelated different thing")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    import glob
+
+    def pairs():
+        df = spark.read.parquet(*glob.glob(f"{out}/pairs/batch=*"))
+        return {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in df.collect()}
+
+    # exactly the 3 star pairs to the canon (min id 1) — NOT C(4,2)=6
+    assert pairs() == {(1, 2): 1.0, (1, 3): 1.0, (1, 4): 1.0}
+    store = spark.read.parquet(*glob.glob(f"{out}/store/batch=*"))
+    assert {r["doc_id"] for r in store.collect()} == {1, 9}
+
+    # wave 2: another exact copy + a near-dup arrive later
+    spark.createDataFrame(
+        [Row(doc_id=20, text=base),
+         Row(doc_id=21, text=base.replace("tok20", "edited"))]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    got = pairs()
+    assert got[(1, 20)] == 1.0          # exact vs store, single pair
+    assert 0.5 <= got[(1, 21)] < 1.0    # near-dup vs store canon
+    store = spark.read.parquet(*glob.glob(f"{out}/store/batch=*"))
+    assert {r["doc_id"] for r in store.collect()} == {1, 9, 21}

@@ -93,6 +93,43 @@ def main() -> None:
     discover_wall = time.perf_counter() - t0
     n_discovered = spark.read.parquet(disc_out).count()
 
+    # --- streaming near-dup over an expanded documents corpus ---
+    from curies_spark.streaming import start_dedup_stream
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs_src = f"{base}/docs_src"
+    n_doc_replicas = 32
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .crossJoin(spark.range(n_doc_replicas).withColumnRenamed("id", "r"))
+        .select(
+            (F.col("doc_id") * n_doc_replicas + F.col("r")).alias("doc_id"),
+            F.when(
+                F.col("r") % 8 == 0,
+                F.concat(F.lit("edited"), F.expr("substring(text, 6)")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    docs.repartition(8).write.parquet(docs_src)
+    n_docs = n_doc_replicas * spark.read.parquet(
+        f"{sf_dir}/documents.parquet"
+    ).count()
+    t0 = time.perf_counter()
+    q3 = start_dedup_stream(
+        spark,
+        docs_src,
+        f"{base}/dedup_out",
+        f"{base}/dedup_ckpt",
+        max_files_per_trigger=2,
+    )
+    q3.awaitTermination(600)
+    dedup_wall = time.perf_counter() - t0
+    dedup_batches = len(q3.recentProgress)
+    import glob as _glob
+
+    pair_dirs = _glob.glob(f"{base}/dedup_out/pairs/batch=*")
+    n_pairs = spark.read.parquet(*pair_dirs).count() if pair_dirs else 0
+
     spark.stop()
     print(
         json.dumps(
@@ -107,6 +144,11 @@ def main() -> None:
                 "stateful_discover_wall_sec": round(discover_wall, 2),
                 "stateful_discover_files_per_sec": int(N_FILES / discover_wall),
                 "discovered_prefixes": n_discovered,
+                "dedup_docs": n_docs,
+                "dedup_micro_batches": dedup_batches,
+                "dedup_wall_sec": round(dedup_wall, 2),
+                "dedup_docs_per_sec": int(n_docs / dedup_wall),
+                "dedup_pairs": n_pairs,
             }
         )
     )
