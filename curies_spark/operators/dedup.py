@@ -245,7 +245,14 @@ def minhash_candidate_pairs(
     df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """LSH candidate pairs: documents agreeing on any band of the
-    signature. Returns (id_a, id_b) with id_a < id_b, distinct."""
+    signature. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Scale note: run exact dedup FIRST on corpora with duplicate
+    families — identical contents share identical signatures, so a
+    family of n exact copies band-joins into O(n²) pairs here. The
+    pipeline compositions do this (plans/dedup_pipeline.py collapses
+    to exact winners before banding; streaming/dedup.py emits one
+    exact pair per copy)."""
     sig = minhash_signature(df, text=text, id_col=id_col, k=k)
     n_bands = N_PERM // BAND_SIZE
     bands = [
@@ -452,7 +459,11 @@ def simhash_candidate_pairs(
     """Near-duplicate pairs by SimHash: block on 16-bit rotated bands
     (a pair within hamming distance ≤ 3 of 64 bits agrees on at least
     one of 4 disjoint 16-bit bands, by pigeonhole), then verify the
-    exact hamming distance natively with bit_count(xor)."""
+    exact hamming distance natively with bit_count(xor).
+
+    Scale note: as with :func:`minhash_candidate_pairs`, collapse
+    exact duplicates first — identical signatures band-join into
+    O(family²) pairs."""
     h = F.col(simhash)
     bands = F.array(
         *[
