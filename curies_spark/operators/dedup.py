@@ -178,14 +178,19 @@ def minhash_signature_col(text: "Column | str", *, k: int = 3) -> Column:
 
     c = F.col(text) if isinstance(text, str) else text
 
-    @F.pandas_udf(ArrayType(LongType()))
-    def _minhash(series: pd.Series) -> pd.Series:
+    @F.arrow_udf(ArrayType(LongType()))
+    def _minhash(arr):
         import hashlib
         from itertools import chain
 
-        n = len(series)
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
         if n == 0:
-            return pd.Series([], dtype=object)
+            return pa.array([], type=pa.list_(pa.int64()))
+        series = arr.to_pandas()
         token_lists = series.str.lower().str.split()
         counts = (
             token_lists.str.len().astype("float64").fillna(0.0).astype(np.int64).to_numpy()
@@ -236,7 +241,15 @@ def minhash_signature_col(text: "Column | str", *, k: int = 3) -> Column:
             # h < 2^48 and r < 2^48: XOR stays in int64, matching the
             # JVM bitwiseXOR exactly
             sig[:, i] = np.minimum.reduceat(h ^ np.int64(r), seg_starts)
-        return pd.Series(sig.tolist())
+        # zero-copy list construction: the row-major sig matrix IS the
+        # flat values buffer of a fixed-stride ListArray — no per-row
+        # Python lists are ever built
+        return pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, (n + 1) * N_PERM, N_PERM, dtype=np.int32), type=pa.int32()
+            ),
+            pa.array(sig.reshape(-1)),
+        )
 
     return _minhash(c)
 
