@@ -322,7 +322,9 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curies_spark.plans.demo_training import NEAR_DUP_DOCS_SQL
 
     docs = _sql_over(spark, sf_dir, NEAR_DUP_DOCS_SQL, ["documents"])
-    return ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None)
+    # the hot-shingle quadratic guard stays ON (this is the plan a
+    # reader copies); the DuckDB oracle mirrors the same cap
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,13 +436,18 @@ def q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_topk(scored, 10)
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clustering: connected components (min-label
-    propagation) over the MinHash-LSH candidate pairs — the closure step
-    between pair generation and survivor selection."""
-    from curies_spark.operators.dedup import connected_components
 
-    return connected_components(q_minhash_pairs(spark, sf_dir))
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup pipeline (stage → exact winners → band →
+    signature verify → cluster → survivors) as one composition, over a
+    corpus with manufactured exact AND near duplicates — the oracle
+    covers the whole composition, not just the parts."""
+    from curies_spark.plans.dedup_pipeline import dedup_components_frame
+    from curies_spark.plans.demo_training import DEDUP_DOCS_SQL
+
+    docs = _sql_over(spark, sf_dir, DEDUP_DOCS_SQL, ["documents"])
+    return dedup_components_frame(docs)
 
 
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -676,7 +683,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_docs": q_simhash_docs,
     "simhash_pairs": q_simhash_pairs,
     "ann_topk": q_ann_topk,
-    "dedup_clusters": q_dedup_clusters,
+    # dedup_clusters (CC over the near-dup pair table alone) is
+    # subsumed: dedup_survivors verifies the full (doc_id, component,
+    # survives) map over a corpus with exact AND near duplicates
+    "dedup_survivors": q_dedup_survivors,
     "ann_index_topk": q_ann_index_topk,
     "near_dup_embeddings": q_near_dup_embeddings,
     "mentions": q_mentions,
@@ -974,13 +984,13 @@ def _training_oracles() -> dict[str, str]:
         "near_dup_embeddings": dt.oracle_near_dup_embeddings_sql(),
         "minhash_signature": dt.oracle_minhash_sql(),
         "minhash_pairs": dt.oracle_minhash_pairs_sql(),
-        "jaccard_pairs": dt.oracle_jaccard_pairs_sql(),
+        "jaccard_pairs": dt.oracle_jaccard_pairs_sql(max_shingle_df=100),
         "fingerprint": dt.oracle_fingerprint_sql(),
         "lang_quality": dt.oracle_lang_quality_sql(),
         "simhash_docs": dt.oracle_simhash_sql(),
         "simhash_pairs": dt.oracle_simhash_pairs_sql(),
         "ann_topk": dt.oracle_ann_topk_sql(),
-        "dedup_clusters": dt.oracle_dedup_clusters_sql(),
+        "dedup_survivors": dt.oracle_dedup_survivors_sql(),
         # the persisted index probes the same (planes, hamming ≤ 1)
         # candidate set as the on-the-fly LSH — identical answer
         "ann_index_topk": dt.oracle_ann_lsh_topk_sql(),

@@ -130,11 +130,15 @@ def minhash_signature(
     df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Per-document MinHash signature via the shuffle-free batch kernel
-    (:func:`minhash_signature_col`). Output schema and values are
-    identical to :func:`minhash_signature_exploded` (the differential
-    twin) — but as a map-only pass: no shingle explosion is ever
-    shuffled, so at corpus scale the signature stage costs a single
-    read of the text column instead of a ~k×-the-corpus shuffle."""
+    (:func:`minhash_signature_col`). Output schema matches
+    :func:`minhash_signature_exploded` (the differential twin), and
+    values agree on ASCII input — the kernel tokenizes with Python's
+    Unicode whitespace classes while the exploded twin splits on the
+    JVM's ASCII ``\\s+``, so exotic separators (NBSP, U+2028) can
+    diverge; see :func:`minhash_signature_col`'s docstring. As a
+    map-only pass, no shingle explosion is ever shuffled: at corpus
+    scale the signature stage costs a single read of the text column
+    instead of a ~k×-the-corpus shuffle."""
     sig = minhash_signature_col(F.col(text), k=k)
     return df.select(F.col(id_col), sig.alias("_mh")).select(
         id_col, *[F.col("_mh")[i].alias(f"mh{i}") for i in range(N_PERM)]
@@ -260,13 +264,28 @@ def minhash_candidate_pairs(
     """LSH candidate pairs: documents agreeing on any band of the
     signature. Returns (id_a, id_b) with id_a < id_b, distinct.
 
-    Scale note: run exact dedup FIRST on corpora with duplicate
-    families — identical contents share identical signatures, so a
-    family of n exact copies band-joins into O(n²) pairs here. The
-    pipeline compositions do this (plans/dedup_pipeline.py collapses
-    to exact winners before banding; streaming/dedup.py emits one
-    exact pair per copy)."""
+    Documents with IDENTICAL full signatures — every exact-duplicate
+    family, plus near-identical contents whose 16 minima happen to
+    coincide — collapse to their min-id canon BEFORE banding: an
+    n-member signature family meets itself in every band and would
+    emit O(n²) pairs (a document repeated 10^6 times → ~10^12 pairs).
+    Each member instead emits one star pair to its canon and only
+    canons enter the band join — linear in family size, and
+    candidate-set-equivalent up to connected components (identical
+    signatures ⇒ identical band keys, so every cross pair a member
+    would find, its canon finds). Mirrored literally in the DuckDB
+    oracle (plans/demo_training.oracle_minhash_pairs_sql)."""
     sig = minhash_signature(df, text=text, id_col=id_col, k=k)
+    sig_cols = [f"mh{i}" for i in range(N_PERM)]
+
+    # signature-family collapse: min id per full 16-value signature
+    canon = sig.groupBy(*sig_cols).agg(F.min(id_col).alias("_canon"))
+    with_canon = sig.join(canon, on=sig_cols)
+    star = with_canon.filter(F.col(id_col) != F.col("_canon")).select(
+        F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    reps = with_canon.filter(F.col(id_col) == F.col("_canon")).drop("_canon")
+
     n_bands = N_PERM // BAND_SIZE
     bands = [
         F.struct(
@@ -282,12 +301,12 @@ def minhash_candidate_pairs(
     ]
     # the join key is the raw band tuple (band index + BAND_SIZE minhash
     # values) — engine-independent and exactly as selective as hashing it
-    banded = sig.select(
+    banded = reps.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    cross = (
         left.join(
             right,
             on=[
@@ -301,6 +320,9 @@ def minhash_candidate_pairs(
         )
         .distinct()
     )
+    # star pairs are distinct by construction and disjoint from cross
+    # pairs (non-canon ids never enter the band join)
+    return cross.unionByName(star)
 
 
 def ngram_jaccard_pairs(

@@ -56,10 +56,14 @@ from ..operators.dedup import (
 from ..operators.text import quality_features, quality_score_col
 
 __all__ = [
+    "band_keys",
     "band_pairs",
+    "dedup_components_frame",
+    "dedup_survivors_frame",
     "estimated_jaccard_col",
     "run_dedup_pipeline",
     "stage_documents",
+    "verify_pairs",
 ]
 
 
@@ -79,12 +83,14 @@ def stage_documents(
     )
 
 
-def band_pairs(
-    staged: DataFrame, *, id_col: str = "doc_id", sig: str = "mh"
+def band_keys(
+    df: DataFrame, *, id_col: str = "doc_id", sig: str = "mh"
 ) -> DataFrame:
-    """LSH candidate pairs from staged signatures: documents agreeing
-    on any (band, band-values) key; returns distinct (id_a, id_b),
-    id_a < id_b — bucketed equi-join, never all-pairs."""
+    """Explode staged signatures into their LSH band keys:
+    ``(id_col, band, key)`` with one row per (document, band). The
+    shared banding layout for every band join (batch pipeline,
+    streaming) — ONE definition so batch and stream can never disagree
+    on which documents collide."""
     n_bands = N_PERM // BAND_SIZE
     bands = [
         F.struct(
@@ -93,11 +99,42 @@ def band_pairs(
         )
         for b in range(n_bands)
     ]
-    banded = staged.select(
+    return df.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("bk")
     ).select(id_col, "bk.band", "bk.key")
+
+
+def band_pairs(
+    staged: DataFrame, *, id_col: str = "doc_id", sig: str = "mh"
+) -> DataFrame:
+    """LSH candidate pairs from staged signatures: documents agreeing
+    on any (band, band-values) key; returns distinct (id_a, id_b),
+    id_a < id_b — bucketed equi-join, never all-pairs.
+
+    Documents with IDENTICAL full signatures collapse to their min-id
+    canon before banding: an n-member family of signature-identical
+    documents (near-identical contents — exact duplicates were already
+    collapsed upstream, but e.g. n copies differing only in a rare
+    shingle still share all 16 minima) would otherwise meet itself in
+    every band and emit O(n²) pairs. Each member instead emits one
+    star pair to the canon, and only canons enter the band join — the
+    same linear-in-family-size shape the exact-duplicate collapse
+    gives, one groupBy on the signature deeper. Candidate-set
+    semantics are preserved up to connected components: star pairs
+    keep the family connected, and any cross pair a member would have
+    produced is produced by its canon (identical signature ⇒ identical
+    band keys)."""
+    sigs = staged.select(F.col(id_col), F.col(sig))
+    canon = sigs.groupBy(sig).agg(F.min(id_col).alias("_canon"))
+    with_canon = sigs.join(canon, on=sig)
+    star = with_canon.filter(F.col(id_col) != F.col("_canon")).select(
+        F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    reps = with_canon.filter(F.col(id_col) == F.col("_canon")).drop("_canon")
+
+    banded = band_keys(reps, id_col=id_col, sig=sig)
     left, right = banded.alias("l"), banded.alias("r")
-    return (
+    cross = (
         left.join(
             right,
             on=[
@@ -109,6 +146,9 @@ def band_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
+    # star pairs are already distinct (one row per non-canon member) and
+    # disjoint from cross pairs (non-canon ids never enter the band join)
+    return cross.unionByName(star)
 
 
 def estimated_jaccard_col(sig_a, sig_b) -> "F.Column":
@@ -116,6 +156,110 @@ def estimated_jaccard_col(sig_a, sig_b) -> "F.Column":
     minhash values on which the two signatures agree."""
     matches = F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int"))
     return F.aggregate(matches, F.lit(0), lambda acc, x: acc + x) / F.lit(N_PERM)
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    staged: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """Signature-estimate verification of candidate pairs: pure column
+    arithmetic over the staged signatures — the text column is never
+    touched. Pairs below ``min_est_jaccard`` are dropped."""
+    sig = staged.select(F.col(id_col), F.col("mh"))
+    return (
+        candidates.join(
+            sig.select(F.col(id_col).alias("id_a"), F.col("mh").alias("_ma")),
+            on="id_a",
+        )
+        .join(
+            sig.select(F.col(id_col).alias("id_b"), F.col("mh").alias("_mb")),
+            on="id_b",
+        )
+        .withColumn("est_jaccard", estimated_jaccard_col(F.col("_ma"), F.col("_mb")))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _survivors_frame(
+    staged_winners: DataFrame, components: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor selection: min-id representative per near-dup component
+    plus every untouched exact winner."""
+    cluster_winners = components.groupBy("component").agg(
+        F.min("node").alias(id_col)
+    )
+    clustered_ids = components.select(F.col("node").alias(id_col))
+    return (
+        staged_winners.join(clustered_ids, on=id_col, how="left_anti")
+        .select(id_col)
+        .unionByName(cluster_winners.select(id_col))
+    )
+
+
+def dedup_components_frame(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """The full dedup composition as ONE DataFrame (no writes): stage →
+    exact winners → band candidates → signature verify → connected
+    components, returned as ``(id_col, component, survives)`` for EVERY
+    exact winner (unclustered winners are their own component; the
+    survivor rule ``survives ⇔ id = component`` falls out because the
+    component label IS the min member id). The oracle-gated twin of
+    :func:`run_dedup_pipeline` (same stages, same helpers — the
+    resumable job adds materialization and a manifest, nothing
+    semantic); the DuckDB oracle is
+    plans/demo_training.oracle_dedup_survivors_sql."""
+    from ..operators.dedup import connected_components
+
+    staged = stage_documents(docs, text=text, id_col=id_col, k=k)
+    winners = staged.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    staged_winners = staged.join(
+        winners.select(id_col), on=id_col, how="left_semi"
+    ).localCheckpoint(eager=False)
+    verified = verify_pairs(
+        band_pairs(staged_winners, id_col=id_col),
+        staged_winners,
+        id_col=id_col,
+        min_est_jaccard=min_est_jaccard,
+    )
+    components = connected_components(verified)
+    return (
+        staged_winners.select(id_col)
+        .join(components, staged_winners[id_col] == components["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .withColumn("survives", F.col("component") == F.col(id_col))
+    )
+
+
+def dedup_survivors_frame(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """The deduped ``id_col`` set of the full composition — the rows of
+    :func:`dedup_components_frame` that survive."""
+    return (
+        dedup_components_frame(
+            docs, text=text, id_col=id_col, k=k, min_est_jaccard=min_est_jaccard
+        )
+        .filter(F.col("survives"))
+        .select(id_col)
+    )
 
 
 def run_dedup_pipeline(
@@ -152,23 +296,17 @@ def run_dedup_pipeline(
         winners.select(id_col), on=id_col, how="left_semi"
     )
 
-    candidates = band_pairs(staged_winners, id_col=id_col)
-    sig = staged.select(F.col(id_col), F.col("mh"))
-    verified = (
-        candidates.join(
-            sig.select(F.col(id_col).alias("id_a"), F.col("mh").alias("_ma")),
-            on="id_a",
-        )
-        .join(
-            sig.select(F.col(id_col).alias("id_b"), F.col("mh").alias("_mb")),
-            on="id_b",
-        )
-        .withColumn("est_jaccard", estimated_jaccard_col(F.col("_ma"), F.col("_mb")))
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-        .select("id_a", "id_b", "est_jaccard")
+    # persist the band self-join — the pipeline's most expensive stage —
+    # so the verify join and the manifest's candidate count share ONE
+    # computation instead of running the join twice (round-3 finding)
+    candidates = band_pairs(staged_winners, id_col=id_col).persist()
+    n_candidates = candidates.count()
+    verified = verify_pairs(
+        candidates, staged, id_col=id_col, min_est_jaccard=min_est_jaccard
     )
     pairs_path = str(out / "pairs")
     verified.write.mode("overwrite").parquet(pairs_path)
+    candidates.unpersist()
     verified = spark.read.parquet(pairs_path)
     n_pairs = verified.count()
 
@@ -178,27 +316,21 @@ def run_dedup_pipeline(
     components = spark.read.parquet(clusters_path)
     n_clustered = components.count()
 
-    cluster_winners = components.groupBy("component").agg(
-        F.min("node").alias(id_col)
-    )
-    clustered_ids = components.select(F.col("node").alias(id_col))
-    survivors = (
-        staged_winners.join(clustered_ids, on=id_col, how="left_anti")
-        .select(id_col)
-        .unionByName(cluster_winners.select(id_col))
-    )
+    survivors = _survivors_frame(staged_winners, components, id_col=id_col)
     survivors_path = str(out / "survivors")
     survivors.write.mode("overwrite").parquet(survivors_path)
 
+    # counted on the narrow staged table: counting the raw corpus would
+    # re-touch the text files (the staging pass must stay the ONLY read
+    # of the text — bench_dedup_pipeline.py proves it); one count reused
+    # for both manifest fields
+    n_staged = staged.count()
     manifest = {
-        # counted on the narrow staged table: counting the raw corpus
-        # would re-touch the text files (the staging pass must stay the
-        # ONLY read of the text — bench_dedup_pipeline.py proves it)
-        "input_docs": staged.count(),
-        "staged_docs": staged.count(),
+        "input_docs": n_staged,
+        "staged_docs": n_staged,
         "exact_dup_groups_gt1": n_exact_dups,
         "exact_winners": winners.count(),
-        "candidate_pairs": candidates.count(),
+        "candidate_pairs": n_candidates,
         "verified_pairs": n_pairs,
         "clustered_docs": n_clustered,
         "survivors": spark.read.parquet(survivors_path).count(),

@@ -15,14 +15,15 @@ from ..operators.similarity import hyperplanes
 from ..operators.text import BPE_TOKEN_RE, LANG_MARKERS, PUNCT_CLASS
 
 __all__ = [
+    "DEDUP_DOCS_SQL",
     "MEDIA_SQL",
     "NEAR_DUP_DOCS_SQL",
     "TRUNC_DOCS_SQL",
+    "oracle_dedup_survivors_sql",
     "oracle_exact_dedup_sql",
     "oracle_near_dup_embeddings_sql",
     "oracle_quality_gate_sql",
     "oracle_minhash_sql",
-    "oracle_dedup_clusters_sql",
     "oracle_minhash_pairs_sql",
     "oracle_jaccard_pairs_sql",
     "oracle_lang_quality_sql",
@@ -62,6 +63,19 @@ NEAR_DUP_DOCS_SQL = (
 #: truncated documents — truncation manufactures exact-duplicate groups
 TRUNC_DOCS_SQL = "SELECT doc_id, substr(text, 1, 30) AS text FROM documents"
 
+#: corpus for the end-to-end dedup pipeline gate: the near-dup corpus
+#: plus exact copies of every 5th document (id-shifted) — so the
+#: composition exercises exact collapse, banding, verify, clustering
+#: AND survivor selection in one run
+DEDUP_DOCS_SQL = (
+    # inline subqueries (not a WITH) so this string can itself be
+    # embedded as a CTE body by the oracle generators
+    f"SELECT doc_id, text FROM ({NEAR_DUP_DOCS_SQL}) nd0 "
+    "UNION ALL "
+    f"SELECT nd1.doc_id + 10000000 AS doc_id, nd1.text FROM "
+    f"({NEAR_DUP_DOCS_SQL}) nd1 WHERE nd1.doc_id % 5 = 0"
+)
+
 
 def _tokens(text_sql: str = "text") -> str:
     return (
@@ -97,12 +111,13 @@ def oracle_minhash_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
     )
 
 
-def oracle_minhash_pairs_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
-    """LSH candidate pairs via band-tuple equality."""
+def _band_sql_parts(src_table: str) -> "tuple[str, str]":
+    """(banded CTE body over ``src_table``, band-equality join cond)."""
     n_bands = N_PERM // BAND_SIZE
     band_selects = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {cols} FROM sig".format(
+        "SELECT doc_id, {b} AS band, {cols} FROM {src}".format(
             b=b,
+            src=src_table,
             cols=", ".join(
                 f"mh{b * BAND_SIZE + r} AS v{r}" for r in range(BAND_SIZE)
             ),
@@ -110,44 +125,105 @@ def oracle_minhash_pairs_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
         for b in range(n_bands)
     )
     join_cond = " AND ".join(f"l.v{r} = r.v{r}" for r in range(BAND_SIZE))
+    return band_selects, join_cond
+
+
+def _collapsed_pairs_body() -> str:
+    """CTE chain (no ``WITH`` prefix; expects a ``sig`` CTE with
+    ``doc_id, mh0..mh15`` in scope) ending in ``star(id_a, id_b)`` +
+    ``xpair(id_a, id_b)``: the signature-family collapse (min-id canon
+    per full signature, one star pair per member) followed by the band
+    join over canons only — mirroring
+    operators.dedup.minhash_candidate_pairs exactly."""
+    sig_cols = ", ".join(f"mh{i}" for i in range(N_PERM))
+    sig_eq = " AND ".join(f"s.mh{i} = c.mh{i}" for i in range(N_PERM))
+    band_selects, join_cond = _band_sql_parts("reps")
     return (
-        f"WITH sig AS ({oracle_minhash_sql(docs_sql)}), "
-        f"banded AS ({band_selects}) "
-        "SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
+        f"canon AS (SELECT {sig_cols}, min(doc_id) AS canon_id "
+        f"FROM sig GROUP BY {sig_cols}), "
+        f"wc AS (SELECT s.doc_id, c.canon_id FROM sig s JOIN canon c ON {sig_eq}), "
+        "star AS (SELECT canon_id AS id_a, doc_id AS id_b FROM wc "
+        "WHERE doc_id <> canon_id), "
+        "reps AS (SELECT s.* FROM sig s JOIN wc ON s.doc_id = wc.doc_id "
+        "WHERE wc.doc_id = wc.canon_id), "
+        f"banded AS ({band_selects}), "
+        "xpair AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b "
         "FROM banded l JOIN banded r ON l.band = r.band AND "
-        f"{join_cond} AND l.doc_id < r.doc_id"
+        f"{join_cond} AND l.doc_id < r.doc_id)"
     )
 
 
-def oracle_dedup_clusters_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
-    """Connected components over the MinHash candidate pairs, as a
-    recursive transitive closure: component = min id reachable.
-
-    Quadratic in cluster size — fine as an oracle at sf0.01; the engine
-    side is the linear min-label propagation
-    (operators.dedup.connected_components)."""
-    base = oracle_minhash_pairs_sql(docs_sql)
-    marker = "SELECT DISTINCT l.doc_id AS id_a"
-    head, _, tail = base.partition(marker)
-    ctes = head[len("WITH "):].rstrip().rstrip(",")
+def oracle_minhash_pairs_sql(docs_sql: str = NEAR_DUP_DOCS_SQL) -> str:
+    """LSH candidate pairs via band-tuple equality, with the
+    signature-family collapse: members of an identical-signature family
+    pair to their min-id canon (star), and only canons band-join."""
     return (
-        "WITH RECURSIVE " + ctes + ", "
-        f"pairs AS ({marker}{tail}), "
+        f"WITH sig AS ({oracle_minhash_sql(docs_sql)}), "
+        f"{_collapsed_pairs_body()} "
+        "SELECT id_a, id_b FROM xpair UNION ALL SELECT id_a, id_b FROM star"
+    )
+
+
+
+
+def oracle_dedup_survivors_sql(
+    docs_sql: str = DEDUP_DOCS_SQL, *, min_est_jaccard: float = 0.5
+) -> str:
+    """End-to-end dedup pipeline component map, mirroring
+    :func:`curies_spark.plans.dedup_pipeline.dedup_components_frame`
+    stage by stage: exact winners (min id per sha256(text)) → MinHash
+    signatures → signature-family collapse → band join → signature-
+    agreement verify (star pairs carry est = 1.0 and always pass for
+    ``min_est_jaccard`` ≤ 1) → recursive transitive closure →
+    ``(doc_id, component, survives)`` per winner (unclustered winners
+    are their own component; survivor ⇔ doc_id = component)."""
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_PERM)
+    )
+    return (
+        f"WITH RECURSIVE docs AS ({docs_sql}), "
+        "w AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY sha256(text)), "
+        f"sigall AS ({oracle_minhash_sql(docs_sql)}), "
+        "sig AS (SELECT s.* FROM sigall s JOIN w USING (doc_id)), "
+        f"{_collapsed_pairs_body()}, "
+        "xver AS (SELECT p.id_a, p.id_b FROM xpair p "
+        "JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b "
+        f"WHERE ({agree}) / 16.0 >= {min_est_jaccard}), "
+        "pairs AS (SELECT id_a, id_b FROM xver "
+        "UNION ALL SELECT id_a, id_b FROM star), "
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
         "UNION SELECT id_b, id_a FROM pairs), "
         "reach AS (SELECT src, dst FROM edges UNION "
-        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
-        "SELECT src AS node, LEAST(src, MIN(dst)) AS component "
-        "FROM reach GROUP BY src"
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) , "
+        "comp AS (SELECT src AS node, LEAST(src, MIN(dst)) AS component "
+        "FROM reach GROUP BY src) "
+        "SELECT w.doc_id, coalesce(c.component, w.doc_id) AS component, "
+        "(coalesce(c.component, w.doc_id) = w.doc_id) AS survives "
+        "FROM w LEFT JOIN comp c ON w.doc_id = c.node"
     )
 
 
 def oracle_jaccard_pairs_sql(
-    docs_sql: str = NEAR_DUP_DOCS_SQL, *, threshold: float = 0.5
+    docs_sql: str = NEAR_DUP_DOCS_SQL,
+    *,
+    threshold: float = 0.5,
+    max_shingle_df: "int | None" = None,
 ) -> str:
+    """Exact n-gram Jaccard pairs; ``max_shingle_df`` mirrors the
+    engine's hot-shingle quadratic guard (shingles in more than that
+    many documents are pruned BEFORE sizes and the self-join, exactly
+    as in operators.dedup.ngram_jaccard_pairs)."""
+    df_cap = (
+        "dsh AS (SELECT d.doc_id, d.shingle FROM dshall d JOIN "
+        "(SELECT shingle FROM dshall GROUP BY shingle "
+        f"HAVING count(*) <= {max_shingle_df}) rare USING (shingle)), "
+        if max_shingle_df is not None
+        else "dsh AS (SELECT doc_id, shingle FROM dshall), "
+    )
     return (
         f"{_shingle_cte(docs_sql)}, "
-        "dsh AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+        "dshall AS (SELECT DISTINCT doc_id, shingle FROM sh), "
+        f"{df_cap}"
         "sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id), "
         "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i "
         "FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "

@@ -3,8 +3,10 @@
 from .dedup import (
     DOC_SCHEMA,
     read_document_stream,
+    read_stream_pairs,
     start_dedup_stream,
     stream_stage_documents,
+    streamed_survivors,
 )
 from .ingest import (
     REPO_SCHEMA,
@@ -20,10 +22,12 @@ __all__ = [
     "REPO_SCHEMA",
     "read_document_stream",
     "read_repo_stream",
+    "read_stream_pairs",
     "start_dedup_stream",
     "start_triples_stream",
     "stream_discover_prefixes",
     "stream_file_edges",
     "stream_prefix_counts",
     "stream_stage_documents",
+    "streamed_survivors",
 ]

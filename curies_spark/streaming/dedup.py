@@ -9,41 +9,56 @@ stateless column expression lifts to Structured Streaming unchanged,
 so each micro-batch stages its documents (hash + signature) with one
 pass and zero state store.
 
-Cross-batch near-dup pairing runs in ``foreachBatch``: the new batch's
-staged signatures band-join against the accumulated signature store
-(plus themselves), verified pairs append to a pairs table, and the
-batch's signatures append to the store. Both writes go to
-batch-id-scoped subdirectories with overwrite, so a replayed batch
-after a crash rewrites its own output instead of duplicating it —
-idempotent, hence exactly-once end-to-end with the source checkpoint.
+Cross-batch near-dup pairing runs in ``foreachBatch`` and is
+**batch-proportional by construction**:
 
-At scale the store join stays bucketed (band-key equi-join, never
-all-pairs) and the store carries only ``(doc_id, mh, content_hash)``
-— signatures, never text; its growth is the corpus's unique-CONTENT
-rate, because exact duplicates collapse before banding (identical
-contents have identical signatures, so banding them is quadratic in
-the family size — each copy instead emits one pair to its family's
-canonical id). The band join's shuffle is proportional to the BATCH,
-not the store, once the store side is bucketed/partitioned by band
-key in a real deployment (partitioned-store layout noted inline).
+- Only the BATCH is banded and self-joined; the accumulated signature
+  store is banded map-side and equi-joined against the (broadcast)
+  batch bands — a (store, store) pair is never generated, because
+  every such pair was already emitted by the batch that introduced its
+  later member. Per-batch join output is O(batch × collisions), not
+  O(store²).
+- Signature-identical documents collapse to ONE store row: a batch doc
+  whose full signature already exists in the store emits one pair to
+  the store holder and never enters the store or the band join
+  (identical signatures ⇒ identical band keys, so its future
+  collisions are exactly the holder's). This bounds every
+  signature-family — including exact-duplicate families, the common
+  case — at one store row, killing the O(family²) band blow-up.
+- The store carries only ``(doc_id, mh, content_hash)`` — signatures,
+  never text; its growth rate is the corpus's unique-SIGNATURE rate.
+- Per-batch store partitions are periodically compacted
+  (``compact_every``) so the read-side directory listing stays flat
+  instead of growing with batch count.
+
+Writes are batch-id-scoped with overwrite, so a replayed batch after a
+crash rewrites its own output instead of duplicating it. The store
+read is scoped to partitions written by STRICTLY EARLIER batches — a
+replayed batch that crashed after its store write but before the
+checkpoint commit must not see its own partition as prior state (it
+would exact-match itself, write an empty store partition, and
+permanently lose its signatures).
 """
 
 from __future__ import annotations
 
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..plans.dedup_pipeline import band_pairs, estimated_jaccard_col
+from ..plans.dedup_pipeline import band_keys, estimated_jaccard_col
 from ..plans.dedup_pipeline import stage_documents as _stage
 
 __all__ = [
     "DOC_SCHEMA",
     "read_document_stream",
-    "stream_stage_documents",
+    "read_stream_pairs",
     "start_dedup_stream",
+    "stream_stage_documents",
+    "streamed_survivors",
 ]
 
 #: schema of the streamed documents table
@@ -53,6 +68,8 @@ DOC_SCHEMA = StructType(
         StructField("text", StringType(), True),
     ]
 )
+
+_STORE_COLS = ("doc_id", "mh", "content_hash")
 
 
 def read_document_stream(
@@ -75,9 +92,75 @@ def stream_stage_documents(docs: DataFrame, *, k: int = 3) -> DataFrame:
     return _stage(docs, k=k)
 
 
-def _read_store(spark: SparkSession, store_path: str) -> "DataFrame | None":
-    dirs = [str(p.parent) for p in Path(store_path).glob("*/_SUCCESS")]
+def _dir_id(part_dir: Path) -> int:
+    return int(part_dir.name.split("=", 1)[1])
+
+
+def _part_id(success_marker: Path) -> int:
+    return _dir_id(success_marker.parent)
+
+
+def _store_parts(store_path: str, before_batch: "int | None") -> "list[str]":
+    """Committed store partitions forming the state BEFORE ``before_batch``.
+
+    ``store/compact=M/`` holds the folded union of all batches < M;
+    ``store/batch=N/`` holds batch N's novel signatures. The newest
+    applicable compact (M ≤ before_batch) replaces every batch dir it
+    covers — stale batch/compact dirs a crashed compaction left behind
+    are simply ignored (and lazily deleted on the next compaction), so
+    every step is idempotent under replay. ``before_batch=None`` reads
+    the full store (for post-hoc analysis like
+    :func:`streamed_survivors`)."""
+    root = Path(store_path)
+    compacts = {
+        _part_id(p): str(p.parent)
+        for p in root.glob("compact=*/_SUCCESS")
+        if before_batch is None or _part_id(p) <= before_batch
+    }
+    base = max(compacts) if compacts else 0
+    dirs = [compacts[base]] if compacts else []
+    dirs += [
+        str(p.parent)
+        for p in root.glob("batch=*/_SUCCESS")
+        if _part_id(p) >= base
+        and (before_batch is None or _part_id(p) < before_batch)
+    ]
+    return dirs
+
+
+def _read_store(
+    spark: SparkSession, store_path: str, before_batch: "int | None"
+) -> "DataFrame | None":
+    dirs = _store_parts(store_path, before_batch)
     return spark.read.parquet(*dirs) if dirs else None
+
+
+def _compact_store(
+    spark: SparkSession, store_path: str, batch_id: int, compact_every: int
+) -> None:
+    """Fold the store partitions for batches < ``batch_id`` into one
+    ``compact={batch_id}`` directory when enough per-batch dirs have
+    accumulated — the read side then lists O(compact_every) dirs
+    forever instead of one per historical batch.
+
+    Runs BEFORE the batch's own writes, so a crash anywhere leaves a
+    state the replay handles: compact written but olds not yet deleted
+    → the olds are ignored (base wins) and deleted next time; crash
+    before the compact write → nothing changed."""
+    parts = _store_parts(store_path, batch_id)
+    n_batch_dirs = sum("batch=" in p for p in parts)
+    if n_batch_dirs < compact_every:
+        return
+    target = Path(store_path) / f"compact={batch_id}"
+    if str(target) in parts:  # replay after a completed compaction
+        return
+    spark.read.parquet(*parts).write.mode("overwrite").parquet(str(target))
+    # everything the new compact covers is now dead weight; removal is
+    # safe because _store_parts already ignores superseded dirs
+    for pattern in ("batch=*", "compact=*"):
+        for p in Path(store_path).glob(pattern):
+            if _dir_id(p) < batch_id:
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def _near_pairs(
@@ -86,28 +169,50 @@ def _near_pairs(
     *,
     min_est_jaccard: float,
 ) -> DataFrame:
-    """Near-dup pairs among exact-novel batch docs + vs the store,
-    signature-estimate verified."""
-    sig_cols = ("doc_id", "mh")
-    combined = (
-        novel.select(*sig_cols).unionByName(store.select(*sig_cols))
-        if store is not None
-        else novel.select(*sig_cols)
-    )
-    # band join over batch+store, keeping only pairs touching the batch:
-    # a (store, store) pair was already emitted by an earlier batch
-    new_ids = novel.select("doc_id")
-    pairs = band_pairs(combined)
-    pairs = pairs.join(
-        new_ids.withColumnRenamed("doc_id", "id_a"), on="id_a", how="left_semi"
-    ).unionByName(
-        pairs.join(
-            new_ids.withColumnRenamed("doc_id", "id_b"), on="id_b", how="left_semi"
+    """Near-dup pairs: batch-banded self-join plus batch-vs-store band
+    join, signature-estimate verified. The store side is never joined
+    against itself — its pairs were emitted by earlier batches — and
+    the batch side is broadcast, so the store is SCANNED once per batch
+    but never shuffled."""
+    batch_banded = band_keys(novel).localCheckpoint(eager=False)
+    left, right = batch_banded.alias("l"), batch_banded.alias("r")
+    within = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.key") == F.col("r.key"),
+                F.col("l.doc_id") < F.col("r.doc_id"),
+            ],
         )
-    ).distinct()
-    sig = combined
+        .select(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .distinct()
+    )
+    if store is not None:
+        store_banded = band_keys(store).alias("s")
+        b = batch_banded.alias("b")
+        cross = (
+            store_banded.join(
+                F.broadcast(b),
+                on=[
+                    F.col("s.band") == F.col("b.band"),
+                    F.col("s.key") == F.col("b.key"),
+                ],
+            )
+            .select(
+                F.least("s.doc_id", "b.doc_id").alias("id_a"),
+                F.greatest("s.doc_id", "b.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        pairs = within.unionByName(cross)
+        sig = novel.select("doc_id", "mh").unionByName(store.select("doc_id", "mh"))
+    else:
+        pairs = within
+        sig = novel.select("doc_id", "mh")
     return (
-        pairs.join(
+        pairs.filter(F.col("id_a") != F.col("id_b"))
+        .join(
             sig.select(F.col("doc_id").alias("id_a"), F.col("mh").alias("_ma")),
             on="id_a",
         )
@@ -123,60 +228,58 @@ def _near_pairs(
 
 def _pair_batch(
     staged_batch: DataFrame,
-    store_path: str,
+    store: "DataFrame | None",
     *,
     min_est_jaccard: float,
 ) -> "tuple[DataFrame, DataFrame]":
     """Returns (pairs, novel): the batch's duplicate pairs and the
-    exact-novel staged rows to append to the store.
+    signature-novel staged rows to append to the store.
 
-    Exact duplicates are collapsed BEFORE the band join — identical
-    contents share identical signatures, so banding them directly is
-    quadratic in the duplicate-family size (a document repeated 10^6
-    times would emit ~10^12 band pairs). Instead each exact copy emits
-    ONE pair to its family's canonical id (est_jaccard = 1.0: the true
-    Jaccard of identical shingle sets), and only unique contents enter
-    the band join and the store — the same exact-winners-first order as
-    the batch pipeline."""
-    spark = staged_batch.sparkSession
-    store = _read_store(spark, store_path)
-
-    # within-batch exact collapse: min doc_id per content hash
-    canon = staged_batch.groupBy("content_hash").agg(
-        F.min("doc_id").alias("_canon")
-    )
-    with_canon = staged_batch.join(canon, on="content_hash")
-    batch_exact = (
-        with_canon.filter(F.col("doc_id") != F.col("_canon"))
-        .select(
-            F.col("_canon").alias("id_a"),
-            F.col("doc_id").alias("id_b"),
-            F.lit(1.0).alias("est_jaccard"),
-        )
+    Signature-identical documents — which include every exact-duplicate
+    family, since identical contents hash to identical signatures —
+    collapse BEFORE the band join: banding an n-member family directly
+    is quadratic in n (a document repeated 10^6 times would emit ~10^12
+    band pairs). Each batch member instead emits ONE star pair
+    (est_jaccard = 1.0: full signature agreement) to its family's
+    canonical id — the min batch id, or the store's holder when the
+    signature is already stored — and only signature-novel documents
+    enter the band join and the store. Candidate connectivity is
+    preserved: a collapsed member's band keys are exactly its canon's,
+    so every cross pair it would have found, its canon finds."""
+    # within-batch signature collapse: min doc_id per full signature
+    canon = staged_batch.groupBy("mh").agg(F.min("doc_id").alias("_canon"))
+    with_canon = staged_batch.join(canon, on="mh")
+    batch_star = with_canon.filter(F.col("doc_id") != F.col("_canon")).select(
+        F.col("_canon").alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.lit(1.0).alias("est_jaccard"),
     )
     winners = with_canon.filter(F.col("doc_id") == F.col("_canon")).drop("_canon")
 
     if store is not None:
-        # winners whose content already lives in the store: one exact
-        # pair to the store's id, and they do NOT re-enter store/banding
-        store_hashes = store.select(
-            F.col("content_hash"), F.col("doc_id").alias("_store_id")
+        # winners whose signature already lives in the store: one pair
+        # to the store's holder (≤ 1 row per signature by this very
+        # invariant), and they do NOT re-enter store/banding. least/
+        # greatest keeps the pairs table canonically ordered even when
+        # a late arrival has a smaller id than the stored holder.
+        store_sigs = store.select(
+            F.col("mh"), F.col("doc_id").alias("_store_id")
         )
-        matched = winners.join(store_hashes, on="content_hash")
-        store_exact = matched.select(
-            F.col("_store_id").alias("id_a"),
-            F.col("doc_id").alias("id_b"),
+        matched = winners.join(store_sigs, on="mh")
+        store_star = matched.select(
+            F.least("_store_id", "doc_id").alias("id_a"),
+            F.greatest("_store_id", "doc_id").alias("id_b"),
             F.lit(1.0).alias("est_jaccard"),
         )
-        novel = winners.join(store_hashes, on="content_hash", how="left_anti")
-        exact_pairs = batch_exact.unionByName(store_exact)
+        novel = winners.join(store_sigs, on="mh", how="left_anti")
+        star_pairs = batch_star.unionByName(store_star)
     else:
         novel = winners
-        exact_pairs = batch_exact
+        star_pairs = batch_star
 
     novel = novel.localCheckpoint()
     near = _near_pairs(novel, store, min_est_jaccard=min_est_jaccard)
-    return exact_pairs.unionByName(near), novel
+    return star_pairs.unionByName(near), novel
 
 
 def start_dedup_stream(
@@ -189,30 +292,37 @@ def start_dedup_stream(
     min_est_jaccard: float = 0.5,
     available_now: bool = True,
     max_files_per_trigger: "int | None" = None,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """Start (or resume) the streaming near-dup detector.
 
-    Writes under ``out_dir``: ``store/batch=N/`` (accumulated
-    signatures) and ``pairs/batch=N/`` (verified near-dup pairs each
-    new batch introduced). Batch-id-scoped overwrite keeps replays
-    idempotent. In a real deployment the store would be a bucketed
-    table partitioned by band-key hash so the store side of the join
-    prunes to the batch's buckets; the parquet-per-batch layout is the
-    sandbox stand-in (same role as partitioned parquet for Iceberg in
-    plans/pipeline.py).
+    Writes under ``out_dir``: ``store/batch=N/`` (the batch's novel
+    signatures, folded into ``store/compact=M/`` every
+    ``compact_every`` batches) and ``pairs/batch=N/`` (the duplicate
+    pairs batch N introduced). Batch-id-scoped overwrite plus the
+    strictly-earlier store read keep replays idempotent — a batch that
+    crashed after its writes re-reads exactly the store state it saw
+    the first time and rewrites identical output. In a real deployment
+    the store would be a bucketed table on the band-key hash so the
+    batch-vs-store join prunes store buckets too; here the store scan
+    is one map-side pass per batch (banded on the fly, joined against
+    the broadcast batch — no store shuffle, no store×store pairs).
     """
     store_path = str(Path(out_dir) / "store")
     pairs_path = str(Path(out_dir) / "pairs")
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        if compact_every:
+            _compact_store(spark, store_path, batch_id, compact_every)
+        store = _read_store(spark, store_path, batch_id)
         staged = _stage(batch, k=k).localCheckpoint()
         pairs, novel = _pair_batch(
-            staged, store_path, min_est_jaccard=min_est_jaccard
+            staged, store, min_est_jaccard=min_est_jaccard
         )
         pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
-        novel.select("doc_id", "mh", "content_hash").write.mode(
-            "overwrite"
-        ).parquet(f"{store_path}/batch={batch_id}")
+        novel.select(*_STORE_COLS).write.mode("overwrite").parquet(
+            f"{store_path}/batch={batch_id}"
+        )
 
     writer = (
         read_document_stream(
@@ -224,3 +334,45 @@ def start_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_stream_pairs(spark: SparkSession, out_dir: str) -> "DataFrame | None":
+    """All duplicate pairs the stream has emitted so far (committed
+    batches only)."""
+    dirs = [
+        str(p.parent) for p in (Path(out_dir) / "pairs").glob("batch=*/_SUCCESS")
+    ]
+    return spark.read.parquet(*dirs) if dirs else None
+
+
+def streamed_survivors(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Survivor selection over everything the stream has processed:
+    connected components over the accumulated pairs table, min-id
+    representative per component, plus every untouched document — the
+    same closure + survivor rule as the batch pipeline
+    (plans/dedup_pipeline.py step 5-6), run as a periodic batch job
+    over the stream's outputs. Returns a ``doc_id`` DataFrame equal to
+    the batch pipeline's survivors on the same corpus (asserted in
+    tests/test_streaming.py)."""
+    from ..operators.dedup import connected_components
+
+    pairs = read_stream_pairs(spark, out_dir)
+    store = _read_store(spark, str(Path(out_dir) / "store"), None)
+    ids = store.select("doc_id") if store is not None else None
+    if pairs is not None:
+        pair_ids = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        )
+        ids = pair_ids if ids is None else ids.unionByName(pair_ids)
+    if ids is None:
+        raise ValueError(f"no committed stream output under {out_dir!r}")
+    all_ids = ids.distinct()
+    if pairs is None:
+        return all_ids
+    losers = connected_components(
+        pairs.select("id_a", "id_b").distinct()
+    ).filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return all_ids.join(losers, on="doc_id", how="left_anti")

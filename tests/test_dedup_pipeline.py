@@ -106,3 +106,50 @@ def test_estimator_matches_hand_count(spark):
         P.estimated_jaccard_col(F.col("a"), F.col("b")).alias("e")
     ).first()["e"]
     assert got == pytest.approx(12 / 16)
+
+
+def test_band_pairs_signature_family_is_linear(spark):
+    """An n-member family of IDENTICAL full signatures must emit O(n)
+    star pairs to its min-id canon — not the O(n²) all-pairs a direct
+    band self-join would produce."""
+    sig = [7, 11, 13, 17] * 4
+    other = [1000 + i for i in range(16)]
+    rows = [Row(doc_id=i, mh=sig) for i in range(1, 1001)]
+    rows.append(Row(doc_id=5000, mh=other))
+    staged = spark.createDataFrame(rows)
+    pairs = P.band_pairs(staged).collect()
+    assert len(pairs) == 999
+    assert all(r["id_a"] == 1 and r["id_b"] != 1 for r in pairs)
+
+
+def test_minhash_pairs_signature_family_collapse(spark):
+    """Content-DISTINCT documents with identical signatures (same token
+    stream, different whitespace → same shingles, different sha256)
+    still collapse to star pairs: exact dedup upstream would NOT merge
+    them, so the guard must live in the pair operator itself."""
+    from curies_spark.operators.dedup import minhash_candidate_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    rows = [Row(doc_id=i, text=base + " " * i) for i in range(1, 101)]
+    rows.append(Row(doc_id=900, text="entirely different content here"))
+    docs = spark.createDataFrame(rows)
+    pairs = minhash_candidate_pairs(docs).collect()
+    assert len(pairs) == 99  # star pairs only, not C(100,2) = 4950
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (1, i) for i in range(2, 101)
+    }
+
+
+def test_components_frame_matches_pipeline_survivors(spark, corpus, tmp_path):
+    """The no-write composition (dedup_components_frame) must agree with
+    the materializing pipeline's survivor set."""
+    out = str(tmp_path / "cmp")
+    P.run_dedup_pipeline(spark, corpus, out, min_est_jaccard=0.4)
+    want = {
+        r["doc_id"] for r in spark.read.parquet(f"{out}/survivors").collect()
+    }
+    comp = P.dedup_components_frame(corpus, min_est_jaccard=0.4).collect()
+    got = {r["doc_id"] for r in comp if r["survives"]}
+    assert got == want
+    # survivor rule falls out of the component label: survives ⇔ min id
+    assert all(r["survives"] == (r["doc_id"] == r["component"]) for r in comp)

@@ -284,3 +284,168 @@ def test_stream_dedup_collapses_exact_families(spark, tmp_path):
     assert 0.5 <= got[(1, 21)] < 1.0    # near-dup vs store canon
     store = spark.read.parquet(*glob.glob(f"{out}/store/batch=*"))
     assert {r["doc_id"] for r in store.collect()} == {1, 9, 21}
+
+
+def test_stream_dedup_replay_uncommitted_batch(spark, tmp_path):
+    """Crash-replay safety: a batch whose store/pairs writes completed
+    but whose checkpoint commit did NOT must re-read exactly the store
+    state it saw the first time — never its own store partition (which
+    would make every doc exact-match itself, empty the partition, and
+    permanently lose its signatures)."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from curies_spark.streaming import start_dedup_stream
+
+    src = str(tmp_path / "rdocs")
+    out = str(tmp_path / "rout")
+    ckpt = str(tmp_path / "rckpt")
+    base = " ".join(f"w{i}" for i in range(40))
+
+    spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="other thing entirely")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    # doc 11: a 3-token edit measured to flip 2 of the 16 minima
+    # (est 14/16) — signature-DISTINCT from the store, unlike a 1-token
+    # edit which can leave all minima intact and collapse as a family
+    near = base.replace("w5", "x").replace("w20", "y").replace("w33", "z")
+    spark.createDataFrame(
+        [Row(doc_id=10, text=base),   # exact (= signature) match vs store
+         Row(doc_id=11, text=near)]   # near-dup vs store via band join
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    def snapshot():
+        pairs = spark.read.parquet(*glob.glob(f"{out}/pairs/batch=*"))
+        store = spark.read.parquet(*glob.glob(f"{out}/store/batch=*"))
+        return (
+            {(r["id_a"], r["id_b"]) for r in pairs.collect()},
+            {r["doc_id"] for r in store.collect()},
+        )
+
+    pairs_before, store_before = snapshot()
+    assert (1, 10) in pairs_before and (1, 11) in pairs_before
+    assert store_before == {1, 2, 11}
+
+    # the store state a replay of batch 1 sees: strictly-earlier
+    # partitions only — batch 1's own (already-written) partition is
+    # invisible even though it sits committed on disk
+    from curies_spark.plans.dedup_pipeline import stage_documents
+    from curies_spark.streaming.dedup import _pair_batch, _read_store
+
+    replay_store = _read_store(spark, f"{out}/store", 1)
+    assert {r["doc_id"] for r in replay_store.collect()} == {1, 2}
+
+    # re-execute exactly what foreachBatch does on replay (same batch
+    # df, same batch_id-scoped overwrite) and assert the outputs are
+    # rewritten identically — the idempotence the checkpoint relies on
+    wave2 = spark.createDataFrame(
+        [Row(doc_id=10, text=base), Row(doc_id=11, text=near)]
+    )
+    pairs, novel = _pair_batch(
+        stage_documents(wave2).localCheckpoint(), replay_store,
+        min_est_jaccard=0.5,
+    )
+    pairs.write.mode("overwrite").parquet(f"{out}/pairs/batch=1")
+    novel.select("doc_id", "mh", "content_hash").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/store/batch=1")
+
+    pairs_after, store_after = snapshot()
+    assert pairs_after == pairs_before
+    assert store_after == store_before
+    assert all(a != b for a, b in pairs_after)  # no degenerate self-pairs
+
+    # and a drained restart through the real checkpoint changes nothing
+    q = start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    assert snapshot() == (pairs_before, store_before)
+
+
+def test_stream_dedup_compaction_bounds_store_dirs(spark, tmp_path):
+    """With compact_every=2 the store folds per-batch partitions into
+    compact dirs: the listing stays bounded as batches accumulate, and
+    the folded state is byte-equivalent for pairing."""
+    import glob
+    from pathlib import Path
+
+    from pyspark.sql import Row
+
+    from curies_spark.streaming import start_dedup_stream, streamed_survivors
+
+    src = str(tmp_path / "cdocs")
+    out = str(tmp_path / "cout")
+    ckpt = str(tmp_path / "cckpt")
+    base = " ".join(f"t{i}" for i in range(40))
+
+    texts = {
+        0: base,
+        1: "first unrelated document about something",
+        2: "second unrelated text mentioning other things",
+        3: base.replace("t7", "edited"),     # near-dup of doc 0
+        4: base,                             # exact dup of doc 0
+        5: "fifth document with novel content words",
+    }
+    for i in range(6):
+        spark.createDataFrame(
+            [Row(doc_id=i, text=texts[i])]
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = start_dedup_stream(spark, src, out, ckpt, compact_every=2)
+        q.awaitTermination(120)
+
+    store_dirs = {
+        Path(p).name for p in glob.glob(f"{out}/store/*") if "=" in p
+    }
+    # compaction ran (at least one compact dir), and fewer than one
+    # batch dir per processed batch remains
+    assert any(d.startswith("compact=") for d in store_dirs), store_dirs
+    assert sum(d.startswith("batch=") for d in store_dirs) < 6, store_dirs
+
+    pairs = spark.read.parquet(*glob.glob(f"{out}/pairs/batch=*"))
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 3) in got and (0, 4) in got
+    surv = {r["doc_id"] for r in streamed_survivors(spark, out).collect()}
+    assert surv == {0, 1, 2, 5}
+
+
+def test_streamed_survivors_match_batch_pipeline(spark, tmp_path):
+    """Survivor selection over the stream's accumulated outputs equals
+    the batch pipeline's survivors on the same corpus."""
+    from pyspark.sql import Row
+
+    from curies_spark.plans.dedup_pipeline import run_dedup_pipeline
+    from curies_spark.streaming import start_dedup_stream, streamed_survivors
+
+    src = str(tmp_path / "mdocs")
+    out = str(tmp_path / "mout")
+    ckpt = str(tmp_path / "mckpt")
+    base = (
+        "the quick brown fox jumps over the lazy dog and then some more "
+        "words follow here so near duplicates cluster together nicely"
+    )
+    waves = [
+        [Row(doc_id=3, text=base), Row(doc_id=7, text="unrelated one here")],
+        [Row(doc_id=1, text=base),                         # smaller id arrives later
+         Row(doc_id=4, text=base.replace("lazy", "idle"))],
+        [Row(doc_id=9, text="another standalone document"),
+         Row(doc_id=2, text=base.replace("quick", "swift"))],
+    ]
+    for wave in waves:
+        spark.createDataFrame(wave).coalesce(1).write.mode("append").parquet(src)
+        q = start_dedup_stream(spark, src, out, ckpt, min_est_jaccard=0.4)
+        q.awaitTermination(120)
+
+    all_docs = spark.createDataFrame([r for w in waves for r in w])
+    batch_out = str(tmp_path / "batch_ref")
+    run_dedup_pipeline(spark, all_docs, batch_out, min_est_jaccard=0.4)
+    want = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{batch_out}/survivors").collect()
+    }
+    got = {r["doc_id"] for r in streamed_survivors(spark, out).collect()}
+    assert got == want
