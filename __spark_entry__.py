@@ -366,26 +366,13 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cosine_vs_query(e: "F.Column", q: "F.Column") -> "F.Column":
-    dot = F.aggregate(
-        F.zip_with(e, q, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    """Cosine of each embedding against the (broadcast-joined) query
+    vector — the BLAS pair kernel, NOT an interpreted zip_with/
+    aggregate fold: on the brute-force full-corpus scan the HOF form
+    pays ~3×dim interpreted lambda calls per row."""
+    from curies_spark.operators.similarity import cosine_pair_col
 
-    def norm(v):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(v, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
-    ne, nq = norm(e), norm(q)
-    return dot / (
-        F.when(ne > 0, ne).otherwise(F.lit(1.0))
-        * F.when(nq > 0, nq).otherwise(F.lit(1.0))
-    )
+    return cosine_pair_col(e, q, guard_zero=True)
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:

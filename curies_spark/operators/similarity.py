@@ -1,8 +1,11 @@
 """Similarity search over embedding columns (``array<float>``).
 
-- Brute-force cosine top-k: the exact baseline. ``F.zip_with`` +
-  ``F.aggregate`` keep the arithmetic in the JVM; one pass, no shuffle
-  until the final top-k (which is a TakeOrdered, not a full sort).
+- Brute-force cosine top-k: the exact baseline. One BLAS matvec per
+  Arrow batch (the same dense-linear-algebra kernel shape as LSH
+  signing and IVF assignment — Spark's higher-order functions
+  interpret their lambdas per element and were measured 20-22× slower
+  on these paths); one pass, no shuffle until the final top-k (which
+  is a TakeOrdered, not a full sort).
 - LSH-bucketed ANN (random hyperplanes): the scale path. Hyperplane
   normals are derived deterministically from sha256 of (seed, plane,
   dim) so signatures are reproducible across runs and engines. Probing
@@ -24,8 +27,10 @@ __all__ = [
     "append_to_ivf_index",
     "build_ann_index",
     "build_ivf_index",
+    "cosine_pair_col",
     "cosine_similarity_col",
     "cosine_topk",
+    "cosine_vs_query_col",
     "embedding_near_dup_pairs",
     "hyperplanes",
     "lsh_signature_col",
@@ -65,8 +70,125 @@ def _dot_lit(vec: Column, plane: "list[float]") -> Column:
     )
 
 
-def cosine_similarity_col(vec: Column, query: "list[float]") -> Column:
-    """Exact cosine similarity against a constant query vector, JVM-native."""
+def _flat_valid(a, b=None):
+    """Shared Arrow-batch prep for the cosine kernels: combine chunks,
+    intersect validity, and return (valid_mask_or_None, dense matrices).
+    ``flatten()`` honors list offsets AND skips null entries, so dense
+    rows line up with the filtered arrays exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    arrs = [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in ((a, b) if b is not None else (a,))]
+    valid = None
+    if any(x.null_count for x in arrs):
+        valid = np.ones(len(arrs[0]), dtype=bool)
+        for x in arrs:
+            valid &= x.is_valid().to_numpy(zero_copy_only=False)
+        arrs = [x.filter(pa.array(valid)) for x in arrs]
+    mats = []
+    for x in arrs:
+        flat = np.asarray(x.flatten(), dtype=np.float64)
+        mats.append(flat.reshape(len(x), -1) if len(x) else flat.reshape(0, 0))
+    return valid, mats
+
+
+def _scatter(values, valid, n):
+    """Place kernel results back at their original row positions,
+    nulling rows whose input was null."""
+    import numpy as np
+    import pyarrow as pa
+
+    if valid is None:
+        return pa.array(values, type=pa.float64())
+    out = np.zeros(n, dtype=np.float64)
+    out[valid] = values
+    return pa.array(out, type=pa.float64(), mask=~valid)
+
+
+def cosine_vs_query_col(vec: Column, query: "list[float]") -> Column:
+    """Exact cosine similarity against a constant query vector — ONE
+    (batch × dim) @ dim BLAS product per Arrow batch plus a vectorized
+    row-norm, the ``_ivf_assign`` kernel shape. Replaces the
+    ``zip_with``/``aggregate`` form (kept as
+    :func:`_cosine_similarity_col_hof` for differential tests): Spark's
+    higher-order functions interpret their lambdas per element, paying
+    ~dim interpreted calls per ROW on a full-corpus scan — the same
+    shape BASELINE.md measured 22× slower on the LSH signing path.
+
+    The query is unit-normalized driver-side; a zero row norm divides
+    by 1 instead (matching the expression form); NULL vectors → NULL.
+    """
+    import numpy as np
+
+    q_arr = np.asarray(_unit([float(x) for x in query]), dtype=np.float64)
+
+    from pyspark.sql.types import DoubleType
+
+    @F.arrow_udf(DoubleType())
+    def _cos(arr):
+        valid, (vecs,) = _flat_valid(arr)
+        if vecs.shape[0] and vecs.shape[1] != q_arr.shape[0]:
+            raise ValueError(
+                f"vector dim {vecs.shape[1]} != query dim {q_arr.shape[0]}"
+            )
+        dots = vecs @ q_arr
+        norms = np.sqrt(np.einsum("ij,ij->i", vecs, vecs))
+        return _scatter(dots / np.where(norms > 0, norms, 1.0), valid, len(arr))
+
+    return _cos(vec)
+
+
+def cosine_pair_col(
+    vec_a: Column, vec_b: Column, *, guard_zero: bool = False
+) -> Column:
+    """Row-wise cosine between two vector columns (the pair-verify
+    shape): vectorized ``einsum`` dot + norms per Arrow batch, no
+    per-element interpreted lambdas. ``guard_zero`` divides by 1
+    instead of a zero norm; without it a zero-norm row yields NULL
+    (the SQL-expression form raised under ANSI mode — NULL keeps the
+    batch kernel total, and downstream threshold filters drop it).
+    NULL on either side → NULL."""
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType
+
+    @F.arrow_udf(DoubleType())
+    def _cos(a, b):
+        import pyarrow as pa
+
+        valid, (va, vb) = _flat_valid(a, b)
+        if va.shape[0] and va.shape[1] != vb.shape[1]:
+            raise ValueError(
+                f"vector dims differ: {va.shape[1]} vs {vb.shape[1]}"
+            )
+        dots = np.einsum("ij,ij->i", va, vb)
+        na = np.sqrt(np.einsum("ij,ij->i", va, va))
+        nb = np.sqrt(np.einsum("ij,ij->i", vb, vb))
+        if guard_zero:
+            na = np.where(na > 0, na, 1.0)
+            nb = np.where(nb > 0, nb, 1.0)
+        denom = na * nb
+        zero = denom == 0
+        vals = np.where(zero, 0.0, dots) / np.where(zero, 1.0, denom)
+
+        n = len(a)
+        mask = np.zeros(n, dtype=bool)  # True = NULL out
+        if valid is None:
+            mask |= zero
+            return pa.array(vals, type=pa.float64(), mask=mask)
+        full = np.zeros(n, dtype=np.float64)
+        full[valid] = vals
+        mask = ~valid
+        mask[np.flatnonzero(valid)[zero]] = True
+        return pa.array(full, type=pa.float64(), mask=mask)
+
+    return _cos(vec_a, vec_b)
+
+
+def _cosine_similarity_col_hof(vec: Column, query: "list[float]") -> Column:
+    """The interpreted higher-order-function form — kept ONLY as the
+    differential twin for :func:`cosine_vs_query_col` tests; never use
+    it on a corpus-scale pass (dim interpreted calls per row)."""
     q = _unit([float(x) for x in query])
     dot = _dot_lit(vec, q)
     norm = F.sqrt(
@@ -77,6 +199,10 @@ def cosine_similarity_col(vec: Column, query: "list[float]") -> Column:
         )
     )
     return dot / F.when(norm > 0, norm).otherwise(F.lit(1.0))
+
+
+#: public name used across the module — the BLAS kernel
+cosine_similarity_col = cosine_vs_query_col
 
 
 def cosine_topk(
@@ -671,33 +797,16 @@ def embedding_near_dup_pairs(
             F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
         ],
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col(f"a.{vec_col}"),
-            F.col(f"b.{vec_col}"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def norm(side: str) -> Column:
-        return F.sqrt(
-            F.aggregate(
-                F.transform(
-                    F.col(f"{side}.{vec_col}"),
-                    lambda x: x.cast("double") * x.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
+    # exact verify as the BLAS pair kernel — bucket selectivity bounds
+    # the pair count, but an interpreted zip_with/aggregate here still
+    # paid ~3×dim lambda calls per candidate pair
     return (
         pairs.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (norm("a") * norm("b"))).alias("cosine"),
+            cosine_pair_col(
+                F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -643,3 +643,68 @@ def test_ivf_train_fraction_and_dim_guard(spark, tmp_path):
         S.query_ivf_index(spark, path, [1.0, 0.0, 0.0], k=3)
     with pytest.raises(ValueError, match="train_fraction"):
         S.build_ivf_index(df, path, dim=2, k=2, train_fraction=0.0)
+
+
+def test_blas_cosine_matches_hof_twin(spark):
+    """The BLAS cosine kernels must agree with the interpreted
+    higher-order-function forms they replaced — including NULL vectors,
+    zero vectors (guarded and unguarded), and ragged batch slices."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 2.0, 3.0, 4.0]),
+        Row(vec_id=1, embedding=[-1.0, 0.5, 0.0, 2.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),   # zero norm
+        Row(vec_id=3, embedding=None),                    # null vector
+        Row(vec_id=4, embedding=[4.0, 3.0, 2.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q = [0.5, -1.0, 2.0, 0.25]
+    got = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", S.cosine_vs_query_col(F.col("embedding"), q).alias("c")
+        ).collect()
+    }
+    want = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id",
+            S._cosine_similarity_col_hof(F.col("embedding"), q).alias("c"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in got:
+        if want[k] is None:
+            assert got[k] is None
+        else:
+            assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+    # pair kernel vs a hand computation (guarded and unguarded)
+    pair_df = spark.createDataFrame(
+        [Row(a=[1.0, 2.0], b=[2.0, 1.0]),
+         Row(a=[1.0, 0.0], b=[0.0, 0.0]),
+         Row(a=None, b=[1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    guarded = [
+        r["c"]
+        for r in pair_df.select(
+            S.cosine_pair_col(F.col("a"), F.col("b"), guard_zero=True).alias("c")
+        ).collect()
+    ]
+    assert guarded[0] == pytest.approx(4.0 / 5.0)
+    assert guarded[1] == pytest.approx(0.0)  # zero norm divides by 1
+    assert guarded[2] is None
+    raw = [
+        r["c"]
+        for r in pair_df.select(
+            S.cosine_pair_col(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    ]
+    # unguarded zero denominator yields NULL (the expression form
+    # raised under ANSI; NULL keeps the batch kernel total)
+    assert raw[0] == pytest.approx(4.0 / 5.0)
+    assert raw[1] is None and raw[2] is None
