@@ -28,13 +28,62 @@ __all__ = [
     "records_to_dicts",
 ]
 
-#: A CURIE prefix (the reference wraps these in pydantic string types for
-#: validation, api.py:177-338; structural validation here happens in the
-#: Converter/loader layer instead).
-Prefix = str
+def _converter_from_context(context: Any) -> Any:
+    """Resolve a converter from a pydantic validation context: either
+    the converter itself or a ``{"converter": ...}`` dict (reference
+    api.py:3305-3310)."""
+    if context is None:
+        return None
+    if isinstance(context, dict):
+        return context.get("converter")
+    return context if hasattr(context, "standardize_prefix") else None
 
-#: ``prefix → uri_prefix`` mapping (reference api.py:339-384 ``PrefixMap``).
-PrefixMap = dict  # dict[str, str]
+
+class Prefix(str):
+    """A CURIE prefix: a plain ``str`` subclass (picklable, broadcast-
+    safe, usable anywhere a string is) that carries the reference's
+    pydantic validation hook (api.py:178-336): when validated inside a
+    pydantic model with ``context=converter`` (or
+    ``context={"converter": converter}``), the value is standardized
+    via ``converter.standardize_prefix(..., strict=True)`` — synonyms
+    canonicalize, unknown prefixes raise a ``ValidationError``. Without
+    a context (or outside pydantic entirely — pydantic is NOT a core
+    dependency) it behaves as the bare string.
+    """
+
+    __slots__ = ()
+
+    @classmethod
+    def __get_pydantic_core_schema__(cls, source: Any, handler: Any) -> Any:
+        # only ever invoked by pydantic itself, so the import is safe here
+        from pydantic_core import core_schema
+
+        return core_schema.with_info_after_validator_function(
+            cls._validate, core_schema.str_schema(strict=False)
+        )
+
+    @classmethod
+    def _validate(cls, value: str, info: Any) -> "Prefix":
+        converter = _converter_from_context(getattr(info, "context", None))
+        if converter is None:
+            return cls(value)
+        # PrefixStandardizationError is a ValueError, which pydantic
+        # surfaces as a ValidationError on the field
+        return cls(converter.standardize_prefix(value, strict=True))
+
+
+try:  # pragma: no cover - exercised whenever pydantic is installed
+    from pydantic import RootModel as _RootModel
+
+    class PrefixMap(_RootModel[dict[Prefix, str]]):  # type: ignore[misc]
+        """``prefix → uri_prefix`` mapping as a pydantic root model
+        (reference api.py:339-384): ``PrefixMap.model_validate({...},
+        context=converter)`` standardizes every key through
+        :class:`Prefix` and rejects unknown prefixes. Unpack with
+        ``.root``."""
+
+except ImportError:  # pydantic absent: plain-dict fallback, keys unvalidated
+    PrefixMap = dict  # type: ignore[assignment,misc]
 
 
 class ReferenceTuple(NamedTuple):
@@ -112,6 +161,43 @@ class Reference:
     @classmethod
     def from_reference(cls, reference: "ReferenceTuple | Reference") -> "Reference":
         return cls(reference.prefix, reference.identifier)
+
+    @classmethod
+    def __get_pydantic_core_schema__(cls, source: Any, handler: Any) -> Any:
+        """Pydantic hook (reference api.py:440-459 semantics): a model
+        field of this type accepts a CURIE string (delimiter required),
+        a ``{"prefix": ..., "identifier": ...}`` dict, or an instance;
+        with ``context=converter`` the prefix is standardized strictly
+        (unknown prefix → ``ValidationError``). Only invoked by
+        pydantic, which is not a core dependency."""
+        from pydantic_core import core_schema
+
+        return core_schema.with_info_plain_validator_function(cls._pydantic_validate)
+
+    @classmethod
+    def _pydantic_validate(cls, value: Any, info: Any) -> "Reference":
+        import dataclasses
+
+        name = None
+        if isinstance(value, Reference):
+            prefix, identifier = value.prefix, value.identifier
+            name = getattr(value, "name", None)
+        elif isinstance(value, str):
+            if ":" not in value:
+                raise ValueError(f"no CURIE delimiter ':' in {value!r}")
+            prefix, _, identifier = value.partition(":")
+        elif isinstance(value, dict):
+            prefix, identifier = value["prefix"], value["identifier"]
+            name = value.get("name")
+        else:
+            raise ValueError(f"cannot build a {cls.__name__} from {type(value)}")
+        converter = _converter_from_context(getattr(info, "context", None))
+        if converter is not None:
+            prefix = converter.standardize_prefix(prefix, strict=True)
+        kwargs: dict[str, Any] = {"prefix": prefix, "identifier": identifier}
+        if name is not None and any(f.name == "name" for f in dataclasses.fields(cls)):
+            kwargs["name"] = name
+        return cls(**kwargs)
 
 
 @dataclass(frozen=True, eq=False)
