@@ -126,7 +126,10 @@ def band_pairs(
     band keys)."""
     sigs = staged.select(F.col(id_col), F.col(sig))
     canon = sigs.groupBy(sig).agg(F.min(id_col).alias("_canon"))
-    with_canon = sigs.join(canon, on=sig)
+    # materialized once (lazily): three branches consume it (star pairs
+    # + both sides of the band self-join) — without the cut each branch
+    # would recompute the full-corpus canon aggregate+join
+    with_canon = sigs.join(canon, on=sig).localCheckpoint(eager=False)
     star = with_canon.filter(F.col(id_col) != F.col("_canon")).select(
         F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b")
     )
