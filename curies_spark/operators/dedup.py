@@ -496,26 +496,41 @@ def simhash_candidate_pairs(
     one of 4 disjoint 16-bit bands, by pigeonhole), then verify the
     exact hamming distance natively with bit_count(xor).
 
-    Scale note: as with :func:`minhash_candidate_pairs`, collapse
-    exact duplicates first — identical signatures band-join into
-    O(family²) pairs."""
+    As in :func:`minhash_candidate_pairs`, documents with IDENTICAL
+    signatures (every exact-duplicate family) collapse to their min-id
+    canon before banding — each member emits one star pair (hamming 0)
+    and only canons band-join, turning the O(family²) blow-up into
+    O(family) with the component partition unchanged (identical
+    signature ⇒ identical bands and identical hamming to any third
+    document). Mirrored in the DuckDB oracle
+    (plans/demo_training.oracle_simhash_pairs_sql)."""
     h = F.col(simhash)
+    sigs = df.select(F.col(id_col), h.alias("_sh"))
+    canon = sigs.groupBy("_sh").agg(F.min(id_col).alias("_canon"))
+    with_canon = sigs.join(canon, on="_sh")
+    star = with_canon.filter(F.col(id_col) != F.col("_canon")).select(
+        F.col("_canon").alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    reps = with_canon.filter(F.col(id_col) == F.col("_canon")).drop("_canon")
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(t).alias("band"),
-                F.shiftrightunsigned(h, t * (64 // n_tables))
+                F.shiftrightunsigned(F.col("_sh"), t * (64 // n_tables))
                 .bitwiseAND(F.lit((1 << (64 // n_tables)) - 1))
                 .alias("key"),
             )
             for t in range(n_tables)
         ]
     )
-    banded = df.select(F.col(id_col), h.alias("_sh"), F.explode(bands).alias("bk")).select(
-        id_col, "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    banded = reps.select(
+        F.col(id_col), F.col("_sh"), F.explode(bands).alias("bk")
+    ).select(id_col, "_sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    cross = (
         a.join(
             b,
             on=[
@@ -532,6 +547,9 @@ def simhash_candidate_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    # star pairs are distinct and disjoint from cross pairs (non-canon
+    # ids never enter the band join); hamming 0 passes any threshold
+    return cross.unionByName(star)
 
 
 def connected_components(

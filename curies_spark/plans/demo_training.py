@@ -268,19 +268,27 @@ def oracle_simhash_pairs_sql(
     docs_sql: str = NEAR_DUP_DOCS_SQL, *, max_hamming: int = 3, n_tables: int = 4
 ) -> str:
     """SimHash near-dup pairs: 16-bit rotated-band blocking + exact
-    hamming verify, mirroring
+    hamming verify, with the identical-signature family collapse
+    (star pairs to the min-id canon, only canons band-join), mirroring
     :func:`curies_spark.operators.dedup.simhash_candidate_pairs`."""
     band_bits = 64 // n_tables
     mask = (1 << band_bits) - 1
     return (
         f"{_simhash_ctes(docs_sql)}, "
+        "canon AS (SELECT uh, min(doc_id) AS canon_id FROM sig GROUP BY uh), "
+        "wc AS (SELECT s.doc_id, s.uh, c.canon_id FROM sig s "
+        "JOIN canon c ON s.uh = c.uh), "
+        "star AS (SELECT canon_id AS id_a, doc_id AS id_b, 0 AS hamming "
+        "FROM wc WHERE doc_id <> canon_id), "
+        "reps AS (SELECT doc_id, uh FROM wc WHERE doc_id = canon_id), "
         f"banded AS (SELECT doc_id, uh, t AS band, (uh >> (t * {band_bits})) & {mask} AS key "
-        f"FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {n_tables - 1})) AS t)), "
+        f"FROM reps CROSS JOIN (SELECT unnest(generate_series(0, {n_tables - 1})) AS t)), "
         "pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, "
         "bit_count(xor(a.uh, b.uh)) AS hamming "
         "FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key "
         "AND a.doc_id < b.doc_id) "
-        f"SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"
+        f"SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming} "
+        "UNION ALL SELECT id_a, id_b, hamming FROM star"
     )
 
 

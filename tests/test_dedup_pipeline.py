@@ -153,3 +153,20 @@ def test_components_frame_matches_pipeline_survivors(spark, corpus, tmp_path):
     assert got == want
     # survivor rule falls out of the component label: survives ⇔ min id
     assert all(r["survives"] == (r["doc_id"] == r["component"]) for r in comp)
+
+
+def test_simhash_pairs_signature_family_is_linear(spark):
+    """SimHash gets the same identical-signature collapse as MinHash:
+    an n-member family emits n-1 star pairs (hamming 0), not O(n²)."""
+    from curies_spark.operators.dedup import simhash_candidate_pairs
+
+    rows = [Row(doc_id=i, simhash=12345) for i in range(1, 501)]
+    rows.append(Row(doc_id=900, simhash=12345 ^ 3))  # hamming 2 from family
+    signed = spark.createDataFrame(rows)
+    pairs = simhash_candidate_pairs(signed).collect()
+    stars = [r for r in pairs if r["hamming"] == 0]
+    crosses = [r for r in pairs if r["hamming"] != 0]
+    assert len(stars) == 499
+    assert all(r["id_a"] == 1 for r in stars)
+    # the family's cross connectivity survives via its canon
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in crosses} == {(1, 900, 2)}
