@@ -170,3 +170,53 @@ def test_simhash_pairs_signature_family_is_linear(spark):
     assert all(r["id_a"] == 1 for r in stars)
     # the family's cross connectivity survives via its canon
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in crosses} == {(1, 900, 2)}
+
+
+def test_family_collapse_preserves_components(spark):
+    """The subsumption claim behind the collapse: star + canon-cross
+    pairs partition documents into exactly the same connected
+    components as the legacy all-pairs band join — randomized
+    signatures with engineered duplicate families and band-level
+    collisions, compared against a pure-Python union-find."""
+    import random
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for n in list(parent):
+            groups.setdefault(find(n), set()).add(n)
+        return frozenset(frozenset(g) for g in groups.values())
+
+    rng = random.Random(7)
+    for _ in range(5):
+        n = 120
+        sigs = {}
+        for doc in range(n):
+            if doc and rng.random() < 0.2:
+                sigs[doc] = sigs[rng.randrange(doc)]  # signature family
+            else:
+                sigs[doc] = [rng.randrange(6) for _ in range(16)]
+        staged = spark.createDataFrame(
+            [Row(doc_id=d, mh=s) for d, s in sigs.items()]
+        )
+        got = {(r["id_a"], r["id_b"]) for r in P.band_pairs(staged).collect()}
+        legacy = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if any(
+                sigs[a][i * 4 : (i + 1) * 4] == sigs[b][i * 4 : (i + 1) * 4]
+                for i in range(4)
+            )
+        }
+        assert components(got) == components(legacy)
