@@ -113,15 +113,27 @@ def exact_dedup(df: DataFrame, *, text: str = "text", keep: str = "min", id_col:
     return df.join(winners, on=id_col, how="left_semi")
 
 
-def exact_dup_groups(df: DataFrame, *, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Groups of exact duplicates: (content_hash, n_docs, doc_ids sorted)."""
+def exact_dup_groups(
+    df: DataFrame,
+    *,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_ids: "int | None" = None,
+) -> DataFrame:
+    """Groups of exact duplicates: (content_hash, n_docs, doc_ids sorted).
+
+    ``max_ids`` truncates the id list per group (``n_docs`` stays the
+    true count) — a reporting guard for corpora where one document is
+    repeated millions of times: an unbounded ``collect_list`` builds
+    the whole family as a single array in one aggregation buffer. Leave
+    ``None`` only when family sizes are known-bounded."""
+    ids = F.array_sort(F.collect_list(id_col))
+    if max_ids is not None:
+        ids = F.slice(ids, 1, max_ids)
     return (
         df.select(F.sha2(F.col(text), 256).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), ids.alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
     )
 

@@ -1,5 +1,10 @@
 """Structured Streaming variants of the KG pipeline and dedup stages."""
 
+from .ann import (
+    EMBEDDING_SCHEMA,
+    read_embedding_stream,
+    start_ann_index_stream,
+)
 from .dedup import (
     DOC_SCHEMA,
     read_document_stream,
@@ -19,10 +24,13 @@ from .ingest import (
 
 __all__ = [
     "DOC_SCHEMA",
+    "EMBEDDING_SCHEMA",
     "REPO_SCHEMA",
     "read_document_stream",
+    "read_embedding_stream",
     "read_repo_stream",
     "read_stream_pairs",
+    "start_ann_index_stream",
     "start_dedup_stream",
     "start_triples_stream",
     "stream_discover_prefixes",

@@ -1,0 +1,122 @@
+"""Streaming ANN index maintenance: sign arriving embedding vectors
+with the index's hyperplanes and append them to the persisted
+signature-partitioned index, one idempotent batch directory at a time.
+
+The batch counterpart (operators/similarity.py ``build_ann_index`` /
+``append_to_ann_index``) already amortizes signing into the layout;
+this lifts the APPEND side to Structured Streaming — the daily-
+increment shape at corpus scale, where embeddings land continuously
+and a full rebuild is infeasible. Each micro-batch:
+
+- signs its vectors with the SAME hyperplanes the index was created
+  with (the ``_params`` side table is written once and verified every
+  batch — mismatched planes would make vectors silently unreachable,
+  the hazard the batch append already guards);
+- writes ``{index_path}/batch=N/sig=S/...`` with batch-scoped
+  overwrite, so a crash replay rewrites its own directory instead of
+  duplicating rows (the same idempotence contract as
+  streaming/dedup.py).
+
+Probing is unchanged: ``probe_ann_index`` partition-discovers
+``(batch, sig)`` and the ``sig`` filter still prunes every non-probed
+bucket's files at planning time — the extra ``batch`` partition level
+only adds directories, never scanned bytes. Do NOT mix this layout
+with ``build_ann_index``'s flat ``sig=S`` layout at one path (Spark's
+partition discovery requires a consistent depth); a streamed index
+lives at its own path from batch 0.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..operators.similarity import (
+    _check_ann_params,
+    _write_ann_params,
+    hyperplanes,
+    lsh_signature_col,
+)
+
+__all__ = [
+    "EMBEDDING_SCHEMA",
+    "read_embedding_stream",
+    "start_ann_index_stream",
+]
+
+#: schema of the streamed embeddings table (matches the testdata layout)
+EMBEDDING_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType()), True),
+    ]
+)
+
+
+def read_embedding_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    max_files_per_trigger: "int | None" = None,
+) -> DataFrame:
+    """File-source stream of embedding parquet landing in a directory."""
+    reader = spark.readStream.schema(EMBEDDING_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def start_ann_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+    max_files_per_trigger: "int | None" = None,
+) -> StreamingQuery:
+    """Start (or resume) the streaming ANN index appender."""
+    params = {"dim": dim, "n_planes": n_planes, "seed": seed}
+    if Path(index_path + "_params").exists():
+        # resuming into an existing index: the planes MUST match
+        _check_ann_params(spark, index_path, params)
+    else:
+        _write_ann_params(spark, index_path, params)
+    planes = hyperplanes(dim, n_planes, seed=seed)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        signed = batch.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_signature_col(F.col(vec_col), planes).alias("sig"),
+        )
+        # one shuffle by bucket so each sig directory is written by a
+        # single task; batch-scoped overwrite keeps replays idempotent
+        signed.repartition("sig").write.mode("overwrite").partitionBy(
+            "sig"
+        ).parquet(f"{index_path}/batch={batch_id}")
+
+    writer = (
+        read_embedding_stream(
+            spark, source_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

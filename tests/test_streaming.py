@@ -449,3 +449,65 @@ def test_streamed_survivors_match_batch_pipeline(spark, tmp_path):
     }
     got = {r["doc_id"] for r in streamed_survivors(spark, out).collect()}
     assert got == want
+
+
+def test_stream_ann_index_matches_batch_build(spark, tmp_path):
+    """The streamed ANN index (per-batch signed appends) must probe
+    identically to a batch-built index over the same vectors, resume
+    across waves, replay idempotently, and refuse mismatched planes."""
+    import glob
+
+    import pytest as _pytest
+
+    from curies_spark.operators.similarity import (
+        build_ann_index,
+        probe_ann_index,
+        query_ann_index,
+    )
+    from curies_spark.streaming import start_ann_index_stream
+
+    src = str(tmp_path / "emb_src")
+    idx = str(tmp_path / "emb_idx_stream")
+    ref_idx = str(tmp_path / "emb_idx_batch")
+    ckpt = str(tmp_path / "emb_ckpt")
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    wave1 = emb.filter(F.col("vec_id") % 2 == 0)
+    wave2 = emb.filter(F.col("vec_id") % 2 == 1)
+
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    q = start_ann_index_stream(spark, src, idx, ckpt, dim=64, n_planes=6, seed=7)
+    q.awaitTermination(120)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    q = start_ann_index_stream(spark, src, idx, ckpt, dim=64, n_planes=6, seed=7)
+    q.awaitTermination(120)
+
+    build_ann_index(emb, ref_idx, dim=64, n_planes=6, seed=7)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    got = probe_ann_index(spark, idx, qvec, multiprobe_bits=1)
+    want = probe_ann_index(spark, ref_idx, qvec, multiprobe_bits=1)
+    assert {(r["vec_id"], r["sig"]) for r in got.collect()} == {
+        (r["vec_id"], r["sig"]) for r in want.collect()
+    }
+    got_k = [r["vec_id"] for r in query_ann_index(spark, idx, qvec, k=5).collect()]
+    want_k = [r["vec_id"] for r in query_ann_index(spark, ref_idx, qvec, k=5).collect()]
+    assert got_k == want_k
+
+    # the sig filter must prune partitions in the nested layout too
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sig#" in plan.split("PartitionFilters")[1][:200]
+
+    # drained replay adds nothing
+    n = spark.read.parquet(idx).count()
+    q = start_ann_index_stream(spark, src, idx, ckpt, dim=64, n_planes=6, seed=7)
+    q.awaitTermination(120)
+    assert spark.read.parquet(idx).count() == n == emb.count()
+
+    # resuming with different hyperplanes must fail loud
+    with _pytest.raises(ValueError, match="built with"):
+        start_ann_index_stream(spark, src, idx, ckpt, dim=64, n_planes=8, seed=7)
