@@ -544,15 +544,6 @@ def query_ann_index(
     return cosine_topk(candidates, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
-def _sq_dist(a: Column, b: Column) -> Column:
-    """Squared euclidean distance between two array<float/double> columns."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _ivf_assign(
     frame: DataFrame,
     cents: "list[list[float]]",

@@ -156,9 +156,18 @@ def band_pairs(
 
 def estimated_jaccard_col(sig_a, sig_b) -> "F.Column":
     """Unbiased LSH Jaccard estimate: the fraction of the N_PERM
-    minhash values on which the two signatures agree."""
-    matches = F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int"))
-    return F.aggregate(matches, F.lit(0), lambda acc, x: acc + x) / F.lit(N_PERM)
+    minhash values on which the two signatures agree.
+
+    Unrolled to N_PERM static element comparisons — fully
+    whole-stage-codegen'd JVM arithmetic. The ``zip_with``/``aggregate``
+    form interprets its lambda per element (16 interpreted calls per
+    candidate pair — the verify stage runs over every pair the band
+    join emits, so at corpus scale this is a hot path)."""
+    total = None
+    for i in range(N_PERM):
+        term = (sig_a[i] == sig_b[i]).cast("int")
+        total = term if total is None else total + term
+    return total / F.lit(N_PERM)
 
 
 def verify_pairs(
