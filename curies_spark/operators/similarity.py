@@ -605,6 +605,7 @@ def build_ivf_index(
     train_fraction: float = 1.0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    write_vectors: bool = True,
 ) -> None:
     """Materialize an IVF (inverted-file) ANN index: deterministic
     Lloyd's k-means over the corpus, vectors written
@@ -636,6 +637,11 @@ def build_ivf_index(
     the standard sample-then-assign pattern: at 100 TB the train loop
     touches a few million vectors while the single full-corpus pass is
     the map-only assignment.
+
+    ``write_vectors=False`` trains and persists ONLY the centroid side
+    table (no vector partitions) — the seed step for a streamed index
+    (:func:`curies_spark.streaming.start_ivf_index_stream`), whose
+    batch-scoped layout must not mix with the flat one.
     """
     if not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
@@ -673,10 +679,11 @@ def build_ivf_index(
         # empty cells keep their previous centroid (standard Lloyd's)
         centroids = [by_cid.get(i, centroids[i]) for i in range(k)]
 
-    final = _ivf_assign(tagged, centroids, contiguous, vec_col, id_col)
-    final.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
-        index_path
-    )
+    if write_vectors:
+        final = _ivf_assign(tagged, centroids, contiguous, vec_col, id_col)
+        final.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
+            index_path
+        )
     # centroids ride along as a driver-scale side table for the prober
     df.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],

@@ -4,6 +4,7 @@ from .ann import (
     EMBEDDING_SCHEMA,
     read_embedding_stream,
     start_ann_index_stream,
+    start_ivf_index_stream,
 )
 from .dedup import (
     DOC_SCHEMA,
@@ -31,6 +32,7 @@ __all__ = [
     "read_repo_stream",
     "read_stream_pairs",
     "start_ann_index_stream",
+    "start_ivf_index_stream",
     "start_dedup_stream",
     "start_triples_stream",
     "stream_discover_prefixes",

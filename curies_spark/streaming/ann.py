@@ -51,6 +51,7 @@ __all__ = [
     "EMBEDDING_SCHEMA",
     "read_embedding_stream",
     "start_ann_index_stream",
+    "start_ivf_index_stream",
 ]
 
 #: schema of the streamed embeddings table (matches the testdata layout)
@@ -108,6 +109,58 @@ def start_ann_index_stream(
         # single task; batch-scoped overwrite keeps replays idempotent
         signed.repartition("sig").write.mode("overwrite").partitionBy(
             "sig"
+        ).parquet(f"{index_path}/batch={batch_id}")
+
+    writer = (
+        read_embedding_stream(
+            spark, source_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_ivf_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+    max_files_per_trigger: "int | None" = None,
+) -> StreamingQuery:
+    """Start (or resume) the streaming IVF index appender.
+
+    The index's centroids must already exist — train them once with
+    ``build_ivf_index(seed_corpus, index_path, write_vectors=False)``
+    (or a full batch build at a DIFFERENT path whose ``_centroids``
+    table is copied here): standard IVF maintenance keeps cells fixed
+    between rare re-trains while appends arrive continuously. Each
+    micro-batch runs the shared BLAS nearest-centroid kernel
+    (``_ivf_assign`` — the same cell placement as the batch paths, so
+    they can never diverge) and writes
+    ``{index_path}/batch=N/cid=C/...`` with batch-scoped overwrite —
+    idempotent under crash replay, and ``query_ivf_index``'s ``cid``
+    filter partition-prunes the nested layout exactly like the flat
+    batch one."""
+    from ..operators.similarity import _ivf_assign
+
+    cents_rows = sorted(
+        (r["cid"], r["centroid"])
+        for r in spark.read.parquet(index_path + "_centroids").collect()
+    )
+    cids = [cid for cid, _ in cents_rows]
+    cents = [c for _, c in cents_rows]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        assigned = _ivf_assign(batch, cents, cids, vec_col, id_col)
+        assigned.repartition("cid").write.mode("overwrite").partitionBy(
+            "cid"
         ).parquet(f"{index_path}/batch={batch_id}")
 
     writer = (

@@ -511,3 +511,50 @@ def test_stream_ann_index_matches_batch_build(spark, tmp_path):
     # resuming with different hyperplanes must fail loud
     with _pytest.raises(ValueError, match="built with"):
         start_ann_index_stream(spark, src, idx, ckpt, dim=64, n_planes=8, seed=7)
+
+
+def test_stream_ivf_index_matches_batch_append(spark, tmp_path):
+    """Streamed IVF appends place vectors in exactly the cells the
+    batch paths would (shared assignment kernel) and probe identically;
+    replay adds nothing."""
+    from curies_spark.operators.similarity import build_ivf_index, query_ivf_index
+    from curies_spark.streaming import start_ivf_index_stream
+
+    src = str(tmp_path / "ivf_src")
+    idx = str(tmp_path / "ivf_idx_stream")
+    ref_idx = str(tmp_path / "ivf_idx_batch")
+    ckpt = str(tmp_path / "ivf_ckpt")
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    # identical training corpora → identical centroids for both paths
+    build_ivf_index(emb, ref_idx, dim=64, k=8, iters=2)
+    build_ivf_index(emb, idx, dim=64, k=8, iters=2, write_vectors=False)
+
+    for pred in (F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1):
+        emb.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        q = start_ivf_index_stream(spark, src, idx, ckpt)
+        q.awaitTermination(120)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in query_ivf_index(spark, idx, qvec, k=5, nprobe=2).collect()
+    ]
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in query_ivf_index(spark, ref_idx, qvec, k=5, nprobe=2).collect()
+    ]
+    assert got == want
+    # cell placement identical row-by-row
+    got_cells = {(r["vec_id"], r["cid"]) for r in spark.read.parquet(idx).collect()}
+    want_cells = {(r["vec_id"], r["cid"]) for r in spark.read.parquet(ref_idx).collect()}
+    assert got_cells == want_cells
+
+    n = spark.read.parquet(idx).count()
+    q = start_ivf_index_stream(spark, src, idx, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(idx).count() == n == emb.count()
