@@ -187,7 +187,10 @@ class Reference:
                 raise ValueError(f"no CURIE delimiter ':' in {value!r}")
             prefix, _, identifier = value.partition(":")
         elif isinstance(value, dict):
-            prefix, identifier = value["prefix"], value["identifier"]
+            try:
+                prefix, identifier = value["prefix"], value["identifier"]
+            except KeyError as exc:  # ValueError → pydantic field error
+                raise ValueError(f"missing reference field {exc}") from exc
             name = value.get("name")
         else:
             raise ValueError(f"cannot build a {cls.__name__} from {type(value)}")

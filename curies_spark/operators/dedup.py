@@ -122,17 +122,31 @@ def exact_dup_groups(
 ) -> DataFrame:
     """Groups of exact duplicates: (content_hash, n_docs, doc_ids sorted).
 
-    ``max_ids`` truncates the id list per group (``n_docs`` stays the
-    true count) — a reporting guard for corpora where one document is
-    repeated millions of times: an unbounded ``collect_list`` builds
-    the whole family as a single array in one aggregation buffer. Leave
-    ``None`` only when family sizes are known-bounded."""
-    ids = F.array_sort(F.collect_list(id_col))
-    if max_ids is not None:
-        ids = F.slice(ids, 1, max_ids)
+    ``max_ids`` keeps only the ``max_ids`` smallest ids per group
+    (``n_docs`` stays the true count) — a reporting guard for corpora
+    where one document is repeated millions of times: an unbounded
+    ``collect_list`` builds the whole family as a single array in one
+    aggregation buffer. The cap is applied BEFORE aggregation (rows
+    past it contribute NULL, which ``collect_list`` skips), so the
+    buffer itself is bounded. Leave ``None`` only when family sizes are
+    known-bounded."""
+    hashed = df.select(
+        F.sha2(F.col(text), 256).alias("content_hash"), F.col(id_col)
+    )
+    if max_ids is None:
+        ids = F.array_sort(F.collect_list(id_col))
+    else:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("content_hash").orderBy(id_col)
+        )
+        hashed = hashed.withColumn("_rn", rn)
+        ids = F.array_sort(
+            F.collect_list(F.when(F.col("_rn") <= max_ids, F.col(id_col)))
+        )
     return (
-        df.select(F.sha2(F.col(text), 256).alias("content_hash"), F.col(id_col))
-        .groupBy("content_hash")
+        hashed.groupBy("content_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"), ids.alias("doc_ids"))
         .filter(F.col("n_docs") > 1)
     )
@@ -290,9 +304,11 @@ def minhash_candidate_pairs(
     sig = minhash_signature(df, text=text, id_col=id_col, k=k)
     sig_cols = [f"mh{i}" for i in range(N_PERM)]
 
-    # signature-family collapse: min id per full 16-value signature
+    # signature-family collapse: min id per full 16-value signature;
+    # materialized once (lazily) — the star branch and both band-join
+    # sides would otherwise each recompute the canon aggregate+join
     canon = sig.groupBy(*sig_cols).agg(F.min(id_col).alias("_canon"))
-    with_canon = sig.join(canon, on=sig_cols)
+    with_canon = sig.join(canon, on=sig_cols).localCheckpoint(eager=False)
     star = with_canon.filter(F.col(id_col) != F.col("_canon")).select(
         F.col("_canon").alias("id_a"), F.col(id_col).alias("id_b")
     )
@@ -519,7 +535,8 @@ def simhash_candidate_pairs(
     h = F.col(simhash)
     sigs = df.select(F.col(id_col), h.alias("_sh"))
     canon = sigs.groupBy("_sh").agg(F.min(id_col).alias("_canon"))
-    with_canon = sigs.join(canon, on="_sh")
+    # one lazy materialization shared by the star + band branches
+    with_canon = sigs.join(canon, on="_sh").localCheckpoint(eager=False)
     star = with_canon.filter(F.col(id_col) != F.col("_canon")).select(
         F.col("_canon").alias("id_a"),
         F.col(id_col).alias("id_b"),

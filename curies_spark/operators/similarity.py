@@ -87,6 +87,19 @@ def _flat_valid(a, b=None):
         arrs = [x.filter(pa.array(valid)) for x in arrs]
     mats = []
     for x in arrs:
+        if len(x):
+            # reshape assumes equal widths; a ragged batch whose total
+            # happens to divide evenly would otherwise silently score
+            # every row against the wrong elements
+            import pyarrow.compute as pc
+
+            lengths = pc.list_value_length(x)
+            lo, hi = pc.min_max(lengths).values()
+            if lo.as_py() != hi.as_py():
+                raise ValueError(
+                    f"ragged vector lengths in batch: {lo.as_py()}..{hi.as_py()} "
+                    "— all vectors must share one dimension"
+                )
         flat = np.asarray(x.flatten(), dtype=np.float64)
         mats.append(flat.reshape(len(x), -1) if len(x) else flat.reshape(0, 0))
     return valid, mats

@@ -188,7 +188,7 @@ def oracle_dedup_survivors_sql(
         f"{_collapsed_pairs_body()}, "
         "xver AS (SELECT p.id_a, p.id_b FROM xpair p "
         "JOIN sig a ON a.doc_id = p.id_a JOIN sig b ON b.doc_id = p.id_b "
-        f"WHERE ({agree}) / 16.0 >= {min_est_jaccard}), "
+        f"WHERE ({agree}) / {float(N_PERM)} >= {min_est_jaccard}), "
         "pairs AS (SELECT id_a, id_b FROM xver "
         "UNION ALL SELECT id_a, id_b FROM star), "
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "

@@ -9,9 +9,9 @@ increment shape at corpus scale, where embeddings land continuously
 and a full rebuild is infeasible. Each micro-batch:
 
 - signs its vectors with the SAME hyperplanes the index was created
-  with (the ``_params`` side table is written once and verified every
-  batch — mismatched planes would make vectors silently unreachable,
-  the hazard the batch append already guards);
+  with (the ``_params`` side table is written once and verified at
+  every stream (re)start — mismatched planes would make vectors
+  silently unreachable, the hazard the batch append already guards);
 - writes ``{index_path}/batch=N/sig=S/...`` with batch-scoped
   overwrite, so a crash replay rewrites its own directory instead of
   duplicating rows (the same idempotence contract as
@@ -54,7 +54,7 @@ __all__ = [
     "start_ivf_index_stream",
 ]
 
-#: schema of the streamed embeddings table (matches the testdata layout)
+#: default schema of the streamed embeddings table (testdata layout)
 EMBEDDING_SCHEMA = StructType(
     [
         StructField("vec_id", LongType(), False),
@@ -63,14 +63,30 @@ EMBEDDING_SCHEMA = StructType(
 )
 
 
+def _embedding_schema(id_col: str, vec_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField(vec_col, ArrayType(FloatType()), True),
+        ]
+    )
+
+
 def read_embedding_stream(
     spark: SparkSession,
     source_dir: str,
     *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
     max_files_per_trigger: "int | None" = None,
 ) -> DataFrame:
-    """File-source stream of embedding parquet landing in a directory."""
-    reader = spark.readStream.schema(EMBEDDING_SCHEMA)
+    """File-source stream of embedding parquet landing in a directory.
+
+    The schema is pinned from ``id_col``/``vec_col`` (a file-source
+    stream needs an explicit schema) — names that don't match the
+    parquet columns would resolve to all-NULL, so callers must pass the
+    source's real column names."""
+    reader = spark.readStream.schema(_embedding_schema(id_col, vec_col))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(source_dir)
@@ -113,7 +129,11 @@ def start_ann_index_stream(
 
     writer = (
         read_embedding_stream(
-            spark, source_dir, max_files_per_trigger=max_files_per_trigger
+            spark,
+            source_dir,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_files_per_trigger=max_files_per_trigger,
         )
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
@@ -165,7 +185,11 @@ def start_ivf_index_stream(
 
     writer = (
         read_embedding_stream(
-            spark, source_dir, max_files_per_trigger=max_files_per_trigger
+            spark,
+            source_dir,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_files_per_trigger=max_files_per_trigger,
         )
         .writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)

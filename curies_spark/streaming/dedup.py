@@ -163,17 +163,27 @@ def _compact_store(
                 shutil.rmtree(p, ignore_errors=True)
 
 
+#: novel docs per batch above which the batch side is no longer
+#: broadcast into the store join (4 band rows/doc ≈ 50 B each → ~100 MB
+#: at the cap). A cold-start backfill with no trigger cap can deliver
+#: the whole corpus as batch 0 — force-broadcasting that would blow the
+#: driver / Spark's broadcast limit, so past the cap the join degrades
+#: to a shuffle (correct, heavier) instead of failing.
+BROADCAST_NOVEL_CAP = 500_000
+
+
 def _near_pairs(
     novel: DataFrame,
     store: "DataFrame | None",
     *,
     min_est_jaccard: float,
+    n_novel: "int | None" = None,
 ) -> DataFrame:
     """Near-dup pairs: batch-banded self-join plus batch-vs-store band
     join, signature-estimate verified. The store side is never joined
     against itself — its pairs were emitted by earlier batches — and
-    the batch side is broadcast, so the store is SCANNED once per batch
-    but never shuffled."""
+    the batch side is broadcast (when under ``BROADCAST_NOVEL_CAP``),
+    so the store is SCANNED once per batch but never shuffled."""
     batch_banded = band_keys(novel).localCheckpoint(eager=False)
     left, right = batch_banded.alias("l"), batch_banded.alias("r")
     within = (
@@ -191,9 +201,11 @@ def _near_pairs(
     if store is not None:
         store_banded = band_keys(store).alias("s")
         b = batch_banded.alias("b")
+        if n_novel is None or n_novel <= BROADCAST_NOVEL_CAP:
+            b = F.broadcast(b)
         cross = (
             store_banded.join(
-                F.broadcast(b),
+                b,
                 on=[
                     F.col("s.band") == F.col("b.band"),
                     F.col("s.key") == F.col("b.key"),
@@ -278,7 +290,9 @@ def _pair_batch(
         star_pairs = batch_star
 
     novel = novel.localCheckpoint()
-    near = _near_pairs(novel, store, min_est_jaccard=min_est_jaccard)
+    near = _near_pairs(
+        novel, store, min_est_jaccard=min_est_jaccard, n_novel=novel.count()
+    )
     return star_pairs.unionByName(near), novel
 
 
@@ -319,10 +333,17 @@ def start_dedup_stream(
         pairs, novel = _pair_batch(
             staged, store, min_est_jaccard=min_est_jaccard
         )
-        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+        # store FIRST: a crash between the writes then at worst leaves
+        # batch N's novel docs visible as (unpaired) survivors until the
+        # replay rewrites both — the reverse order would make a
+        # concurrent/post-crash streamed_survivors() read a snapshot
+        # where batch N's singleton documents exist in NEITHER table
+        # (silently dropped from the survivor set). The replay itself is
+        # unaffected either way: its store read is scoped to batches < N.
         novel.select(*_STORE_COLS).write.mode("overwrite").parquet(
             f"{store_path}/batch={batch_id}"
         )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
 
     writer = (
         read_document_stream(

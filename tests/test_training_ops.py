@@ -708,3 +708,30 @@ def test_blas_cosine_matches_hof_twin(spark):
     # raised under ANSI; NULL keeps the batch kernel total)
     assert raw[0] == pytest.approx(4.0 / 5.0)
     assert raw[1] is None and raw[2] is None
+
+
+def test_blas_cosine_rejects_ragged_batches(spark):
+    """Ragged vector lengths must fail loud — a divisible total would
+    otherwise silently misalign every row in the batch."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(v=[1.0, 2.0]), Row(v=[1.0, 2.0, 3.0, 4.0]),
+         Row(v=[1.0, 2.0, 3.0, 4.0, 5.0, 6.0])],
+        "v array<double>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        df.select(S.cosine_vs_query_col(F.col("v"), [1.0, 0.0]).alias("c")).collect()
+
+
+def test_exact_dup_groups_max_ids_caps_before_aggregation(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same") for i in range(10, 0, -1)]
+        + [Row(doc_id=99, text="solo")]
+    )
+    got = D.exact_dup_groups(docs, max_ids=3).collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == 10          # true count survives the cap
+    assert got[0]["doc_ids"] == [1, 2, 3]  # smallest ids kept
