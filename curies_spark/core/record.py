@@ -153,6 +153,20 @@ class Reference:
     def pair(self) -> ReferenceTuple:
         return ReferenceTuple(self.prefix, self.identifier)
 
+    def __composite_values__(self) -> "tuple[str, str]":
+        """Values for :func:`sqlalchemy.orm.composite` (reference
+        api.py:462-464)."""
+        return self.prefix, self.identifier
+
+    def without_name(self) -> "Reference":
+        """This reference — it already has no name (reference
+        api.py:484-486; overridden by the namable subclasses)."""
+        return self
+
+    def with_name(self, name: str) -> "NamableReference":
+        """This reference, with a name (reference api.py:488-490)."""
+        return NamedReference(self.prefix, self.identifier, name)
+
     @classmethod
     def from_curie(cls, curie: str, *, sep: str = ":") -> "Reference":
         prefix, _, identifier = curie.partition(sep)
@@ -210,6 +224,16 @@ class NamableReference(Reference):
     two references."""
 
     name: "str | None" = None
+
+    def without_name(self) -> Reference:
+        """A plain :class:`Reference`, the name stripped (reference
+        api.py:582-584)."""
+        return Reference(self.prefix, self.identifier)
+
+    def with_name(self, name: str) -> "NamableReference":
+        """The same reference class with the name replaced (reference
+        api.py:586-588)."""
+        return type(self)(self.prefix, self.identifier, name)
 
     @classmethod
     def from_curie(  # type: ignore[override]

@@ -107,3 +107,26 @@ def test_curie(converter):
 
     with pytest.raises(ValidationError):
         WrappedCURIE.model_validate({"reference": "MONDO:1234"}, context=converter)
+
+
+def test_reference_name_methods():
+    """with_name/without_name/__composite_values__ parity (reference
+    api.py:462-464, 484-490, 582-588)."""
+    from curies_spark import NamableReference, NamedReference
+
+    r = Reference("chebi", "1234")
+    assert r.without_name() is r
+    named = r.with_name("alcohol")
+    assert isinstance(named, NamedReference)
+    assert (named.prefix, named.identifier, named.name) == ("chebi", "1234", "alcohol")
+    assert named.without_name() == r and type(named.without_name()) is Reference
+    renamed = named.with_name("ethanol")
+    assert type(renamed) is NamedReference and renamed.name == "ethanol"
+    nam = NamableReference("go", "1", None)
+    assert type(nam.with_name("x")) is NamableReference
+    assert r.__composite_values__() == ("chebi", "1234")
+
+
+def test_reference_pydantic_missing_fields():
+    with pytest.raises(ValidationError):
+        WrappedCURIE.model_validate({"reference": {"identifier": "x"}})
