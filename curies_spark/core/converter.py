@@ -808,6 +808,147 @@ class Converter:
             return None
         return ReferenceTuple(st_prefix, st_identifier)
 
+    # -- driver-scale pandas / file / hash helpers ---------------------
+    # (reference api.py:2445-2666, 2735-2766). These operate on
+    # in-memory pandas frames and local CSVs — the DISTRIBUTED twins are
+    # SparkConverter.df_* (functions/spark_converter.py) and
+    # sources.loaders.file_convert_column; these exist so reference
+    # call sites port verbatim.
+
+    def _pd_apply(self, df, column, target_column, func) -> None:
+        df[column if target_column is None else target_column] = df[column].map(func)
+
+    def pd_compress(
+        self,
+        df,
+        column,
+        target_column=None,
+        strict: bool = False,
+        passthrough: bool = False,
+        ambiguous: bool = False,
+    ) -> None:
+        """In-place URI→CURIE conversion of a pandas column (reference
+        api.py:2445-2471)."""
+        op = self.compress_or_standardize if ambiguous else self.compress
+        self._pd_apply(
+            df, column, target_column,
+            lambda v: op(v, strict=strict, passthrough=passthrough),
+        )
+
+    def pd_expand(
+        self,
+        df,
+        column,
+        target_column=None,
+        strict: bool = False,
+        passthrough: bool = False,
+        ambiguous: bool = False,
+    ) -> None:
+        """In-place CURIE→URI conversion of a pandas column (reference
+        api.py:2473-2499)."""
+        op = self.expand_or_standardize if ambiguous else self.expand
+        self._pd_apply(
+            df, column, target_column,
+            lambda v: op(v, strict=strict, passthrough=passthrough),
+        )
+
+    def pd_standardize_prefix(
+        self, df, column, target_column=None,
+        strict: bool = False, passthrough: bool = False,
+    ) -> None:
+        """Reference api.py:2501-2522."""
+        self._pd_apply(
+            df, column, target_column,
+            lambda v: self.standardize_prefix(v, strict=strict, passthrough=passthrough),
+        )
+
+    def pd_standardize_curie(
+        self, df, column, target_column=None,
+        strict: bool = False, passthrough: bool = False,
+    ) -> None:
+        """Reference api.py:2524-2560."""
+        self._pd_apply(
+            df, column, target_column,
+            lambda v: self.standardize_curie(v, strict=strict, passthrough=passthrough),
+        )
+
+    def pd_standardize_uri(
+        self, df, column, target_column=None,
+        strict: bool = False, passthrough: bool = False,
+    ) -> None:
+        """Reference api.py:2562-2583."""
+        self._pd_apply(
+            df, column, target_column,
+            lambda v: self.standardize_uri(v, strict=strict, passthrough=passthrough),
+        )
+
+    def _file_helper(
+        self, func, path, column: int, sep: "str | None" = None, header: bool = True
+    ) -> None:
+        """In-place CSV column rewrite (reference api.py:2645-2666)."""
+        import csv
+        from pathlib import Path as _Path
+
+        path = _Path(path).expanduser().resolve()
+        delimiter = sep or "\t"
+        with path.open() as fh:
+            reader = csv.reader(fh, delimiter=delimiter)
+            rows = list(reader)
+        start = 1 if header else 0
+        for row in rows[start:]:
+            row[column] = func(row[column])
+        with path.open("w", newline="") as fh:
+            csv.writer(fh, delimiter=delimiter, lineterminator="\n").writerows(rows)
+
+    def file_compress(
+        self,
+        path,
+        column: int,
+        *,
+        sep: "str | None" = None,
+        header: bool = True,
+        strict: bool = False,
+        passthrough: bool = False,
+        ambiguous: bool = False,
+    ) -> None:
+        """In-place URI→CURIE rewrite of one CSV column (reference
+        api.py:2585-2613)."""
+        op = self.compress_or_standardize if ambiguous else self.compress
+        self._file_helper(
+            lambda v: op(v, strict=strict, passthrough=passthrough),
+            path, column, sep, header,
+        )
+
+    def file_expand(
+        self,
+        path,
+        column: int,
+        *,
+        sep: "str | None" = None,
+        header: bool = True,
+        strict: bool = False,
+        passthrough: bool = False,
+        ambiguous: bool = False,
+    ) -> None:
+        """In-place CURIE→URI rewrite of one CSV column (reference
+        api.py:2615-2643)."""
+        op = self.expand_or_standardize if ambiguous else self.expand
+        self._file_helper(
+            lambda v: op(v, strict=strict, passthrough=passthrough),
+            path, column, sep, header,
+        )
+
+    def hash_triple(self, triple, *, negate: bool = False) -> str:
+        """SHA-256 of the space-joined strictly-expanded URI triple
+        (reference api.py:2735-2766, triples/hash_utils.py:17-115);
+        ``negate`` appends ``~``. The columnar twin is
+        ``functions.kernels.hash_triple_col``."""
+        import hashlib
+
+        uris = triple.as_uri_triple(self)
+        digest = hashlib.sha256(" ".join(uris).encode("utf-8")).hexdigest()
+        return digest + "~" if negate else digest
+
 
 def chain(converters: Sequence[Converter], *, case_sensitive: bool = True) -> Converter:
     """Priority-merge converters: earlier wins; later overlapping records merge

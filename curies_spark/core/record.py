@@ -107,6 +107,19 @@ class ReferenceTuple(NamedTuple):
         prefix, _, identifier = curie.partition(sep)
         return cls(prefix, identifier)
 
+    def to_pydantic(self, *, name: "str | None" = None) -> "Reference":
+        """Promote to a full reference object — named when a non-empty
+        ``name`` is given (reference api.py:155-175; an empty string is
+        an error, matching the reference)."""
+        if name is None:
+            return Reference(self.prefix, self.identifier)
+        if not name:
+            raise ValueError(
+                f"tried to construct a pydantic named reference with a "
+                f"missing name from {self.curie}"
+            )
+        return NamedReference(self.prefix, self.identifier, name)
+
 
 @dataclass(frozen=True, eq=False)
 class Reference:
@@ -275,14 +288,30 @@ class Record:
     def __post_init__(self) -> None:
         if not isinstance(self.prefix, str) or not isinstance(self.uri_prefix, str):
             raise TypeError("prefix and uri_prefix must be strings")
-        if self.prefix in self.prefix_synonyms:
+        self.prefix_not_in_synonyms(self.prefix, {"prefix_synonyms": self.prefix_synonyms})
+        self.uri_prefix_not_in_synonyms(
+            self.uri_prefix, {"uri_prefix_synonyms": self.uri_prefix_synonyms}
+        )
+
+    @classmethod
+    def prefix_not_in_synonyms(cls, v: str, values: "dict[str, Any]") -> str:
+        """Validator: the canonical prefix must not appear in its own
+        synonym list (reference api.py:691-700)."""
+        if v in values.get("prefix_synonyms", []):
             raise ValueError(
-                f"Duplicate of canonical prefix `{self.prefix}` in prefix synonyms"
+                f"Duplicate of canonical prefix `{v}` in prefix synonyms"
             )
-        if self.uri_prefix in self.uri_prefix_synonyms:
+        return v
+
+    @classmethod
+    def uri_prefix_not_in_synonyms(cls, v: str, values: "dict[str, Any]") -> str:
+        """Validator: the canonical URI prefix must not appear in its
+        own synonym list (reference api.py:702-711)."""
+        if v in values.get("uri_prefix_synonyms", []):
             raise ValueError(
-                f"Duplicate of canonical URI prefix `{self.uri_prefix}` in URI prefix synonyms"
+                f"Duplicate of canonical URI prefix `{v}` in URI prefix synonyms"
             )
+        return v
 
     @property
     def _all_prefixes(self) -> list[str]:

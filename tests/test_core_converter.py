@@ -518,3 +518,63 @@ def test_url_loader_with_injected_fetcher() -> None:
         Converter.from_jsonld("https://example.com/ctx.jsonld")
     with pytest.raises(ValueError, match="jsonld"):
         Converter.from_jsonld_github("o", "r", "not-a-context.txt")
+
+
+def test_pd_and_file_helpers_match_reference_semantics(tmp_path):
+    """Driver-scale pandas/file helpers (reference api.py:2445-2666):
+    in-place conversion, ambiguous mode, target_column."""
+    import pandas as pd
+
+    c = Converter.from_prefix_map(
+        {"CHEBI": "http://purl.obolibrary.org/obo/CHEBI_"}
+    )
+    df = pd.DataFrame({"u": ["http://purl.obolibrary.org/obo/CHEBI_1", "nope:x"]})
+    c.pd_compress(df, "u", passthrough=True)
+    assert list(df["u"]) == ["CHEBI:1", "nope:x"]
+    c.pd_expand(df, "u", target_column="x", passthrough=True)
+    assert list(df["x"]) == ["http://purl.obolibrary.org/obo/CHEBI_1", "nope:x"]
+    df2 = pd.DataFrame({"p": ["CHEBI", "CHEBI"]})
+    c.pd_standardize_prefix(df2, "p")
+    assert list(df2["p"]) == ["CHEBI", "CHEBI"]
+
+    path = tmp_path / "t.tsv"
+    path.write_text("col\nhttp://purl.obolibrary.org/obo/CHEBI_5\n")
+    c.file_compress(str(path), 0)
+    assert path.read_text() == "col\nCHEBI:5\n"
+    c.file_expand(str(path), 0)
+    assert path.read_text() == "col\nhttp://purl.obolibrary.org/obo/CHEBI_5\n"
+
+
+def test_driver_hash_triple_matches_reference_vector():
+    """The reference's own doctest vector (api.py:2735-2766)."""
+    import curies_spark as cs
+
+    c = Converter.from_prefix_map(
+        {
+            "mesh": "http://id.nlm.nih.gov/mesh/",
+            "skos": "http://www.w3.org/2004/02/skos/core#",
+            "CHEBI": "http://purl.obolibrary.org/obo/CHEBI_",
+        }
+    )
+    t = cs.Triple.from_curies("mesh:C000089", "skos:exactMatch", "CHEBI:28646")
+    assert (
+        c.hash_triple(t)
+        == "36a1f9244ea7641a90987c82f33c25c0c13712ee8f48207b2a0825f8a4e4e26a"
+    )
+    assert c.hash_triple(t, negate=True).endswith("~")
+
+
+def test_reference_tuple_to_pydantic_and_record_validators():
+    import pytest as _pytest
+
+    import curies_spark as cs
+
+    rt = cs.ReferenceTuple("chebi", "1234")
+    assert type(rt.to_pydantic()) is cs.Reference
+    named = rt.to_pydantic(name="alcohol")
+    assert type(named) is cs.NamedReference and named.name == "alcohol"
+    with _pytest.raises(ValueError):
+        rt.to_pydantic(name="")
+    assert cs.Record.prefix_not_in_synonyms("a", {"prefix_synonyms": ["b"]}) == "a"
+    with _pytest.raises(ValueError):
+        cs.Record.prefix_not_in_synonyms("a", {"prefix_synonyms": ["a"]})
