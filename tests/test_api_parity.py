@@ -197,3 +197,51 @@ def test_bind_rdflib_binds_all_records():
     g2 = Graph()
     converter.bind_rdflib(g2, synonyms=True)
     assert ("chebi", "http://purl.obolibrary.org/obo/CHEBI_") in g2.bound
+
+
+def test_submodule_import_parity():
+    """Every reference submodule's ``__all__`` is importable from the
+    SAME path under curies_spark (``from curies.w3c import …`` ports as
+    ``from curies_spark.w3c import …``). ``TrieNode`` is a documented
+    deviation (the trie is a node-free length-bucketed map, see
+    curies_spark/api.py); sqlalchemy-backed database names are lazy."""
+    import ast
+    import importlib
+    from pathlib import Path
+
+    skipped = {"TrieNode"}
+    for ref_mod in sorted(Path("/root/reference/src/curies").glob("*.py")):
+        name = ref_mod.stem
+        if name.startswith("_") or name in ("cli", "resolver_service", "database"):
+            continue  # CLI/services/database have their own dedicated tests
+        tree = ast.parse(ref_mod.read_text())
+        ref_all = None
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign) and any(
+                getattr(t, "id", "") == "__all__" for t in node.targets
+            ):
+                ref_all = ast.literal_eval(node.value)
+                break
+        if not ref_all:
+            continue
+        ours = importlib.import_module(f"curies_spark.{name}")
+        missing = [
+            n
+            for n in ref_all
+            if n not in skipped and not n.startswith("_") and not hasattr(ours, n)
+        ]
+        assert not missing, f"curies_spark.{name} missing {missing}"
+
+    # the triples package surface (directory module in the reference)
+    import curies_spark.triples as t
+
+    ref_triples = Path("/root/reference/src/curies/triples/__init__.py").read_text()
+    tree = ast.parse(ref_triples)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(x, "id", "") == "__all__" for x in node.targets
+        ):
+            ref_all = ast.literal_eval(node.value)
+            break
+    missing = [n for n in ref_all if not hasattr(t, n)]
+    assert not missing, f"curies_spark.triples missing {missing}"

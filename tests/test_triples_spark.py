@@ -274,3 +274,44 @@ def test_dataframe_valued_membership_sets(spark):
         for r in T.filter_df_by_curies(cdf, "curie", ["CHEBI:1", "GO:3"]).collect()
     }
     assert df_form == seq_form == {"CHEBI:1", "GO:3"}
+
+
+def test_dataframe_module_filter_indexes(spark):
+    """curies_spark.dataframe boolean-column twins of the reference's
+    pandas boolean-Series indexes (reference dataframe.py:83-226)."""
+    import pytest as _pytest
+
+    from curies_spark import Converter
+    from curies_spark.dataframe import (
+        get_filter_df_by_curies_index,
+        get_filter_df_by_prefixes_index,
+    )
+
+    df = spark.createDataFrame(
+        [("CHEBI:1",), ("GO:2",), ("chebi:3",)], ["curie"]
+    )
+
+    idx = get_filter_df_by_prefixes_index(df, column="curie", prefixes=["CHEBI"])
+    assert {r["curie"] for r in df.filter(idx).collect()} == {"CHEBI:1"}
+    idx = get_filter_df_by_prefixes_index(df, column="curie", prefixes="GO")
+    assert {r["curie"] for r in df.filter(idx).collect()} == {"GO:2"}
+
+    conv = Converter.from_extended_prefix_map(
+        [{"prefix": "CHEBI", "prefix_synonyms": ["chebi"],
+          "uri_prefix": "http://purl.obolibrary.org/obo/CHEBI_"}]
+    )
+    idx = get_filter_df_by_prefixes_index(
+        df, column="curie", prefixes=["CHEBI"], method="precalculated",
+        validate=True, converter=conv,
+    )
+    # synonym prefix standardizes to CHEBI before membership
+    assert {r["curie"] for r in df.filter(idx).collect()} == {"CHEBI:1", "chebi:3"}
+    with _pytest.raises(ValueError, match="converter"):
+        get_filter_df_by_prefixes_index(
+            df, column="curie", prefixes=["CHEBI"], method="precalculated"
+        )
+
+    idx = get_filter_df_by_curies_index(df, column="curie", curies={"GO:2", "nope:9"})
+    assert {r["curie"] for r in df.filter(idx).collect()} == {"GO:2"}
+    idx = get_filter_df_by_curies_index(df, column="curie", curies="CHEBI:1")
+    assert {r["curie"] for r in df.filter(idx).collect()} == {"CHEBI:1"}
