@@ -75,7 +75,7 @@ from .sources.presets import (
     get_prefixcommons_converter,
 )
 
-__version__ = "0.2.0"
+from .version import VERSION as __version__  # single source of truth
 
 #: Spark-facing names resolved lazily: attribute → defining module.
 _LAZY: "dict[str, str]" = {

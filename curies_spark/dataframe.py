@@ -64,7 +64,20 @@ def get_filter_df_by_prefixes_index(
         if validate:
             from .functions.kernels import standardize_prefix_col
 
-            prefix_col = standardize_prefix_col(prefix_col, converter)
+            std = standardize_prefix_col(prefix_col, converter)
+            # the reference's validate=True raises on any CURIE whose
+            # prefix the converter doesn't know (strict parse_curie);
+            # the distributed twin raises AT EXECUTION via raise_error
+            # instead of silently NULLing the row out of the filter
+            prefix_col = F.coalesce(
+                std,
+                F.raise_error(
+                    F.concat(
+                        F.lit("could not standardize prefix of CURIE: "),
+                        F.col(column),
+                    )
+                ),
+            )
         if isinstance(prefixes, str):
             return prefix_col == prefixes
         return prefix_col.isin(list(prefixes))

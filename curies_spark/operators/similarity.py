@@ -33,6 +33,7 @@ __all__ = [
     "cosine_vs_query_col",
     "embedding_near_dup_pairs",
     "hyperplanes",
+    "load_ivf_centroids",
     "lsh_signature_col",
     "lsh_topk",
     "probe_ann_index",
@@ -704,6 +705,19 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(index_path + "_centroids")
 
 
+def load_ivf_centroids(
+    spark, index_path: str
+) -> "tuple[list[int], list[list[float]]]":
+    """Read an IVF index's centroid side table as ``(cids, centroids)``
+    sorted by cell id — ONE definition shared by the batch appender and
+    the streaming appender so their cell placement inputs can't drift."""
+    rows = sorted(
+        (r["cid"], r["centroid"])
+        for r in spark.read.parquet(index_path + "_centroids").collect()
+    )
+    return [cid for cid, _ in rows], [c for _, c in rows]
+
+
 def append_to_ivf_index(
     df: DataFrame,
     index_path: str,
@@ -718,12 +732,7 @@ def append_to_ivf_index(
     cells drift slowly, so periodic re-trains are a separate, rarer
     operation than daily appends.
     """
-    cents_rows = sorted(
-        (r["cid"], r["centroid"])
-        for r in df.sparkSession.read.parquet(index_path + "_centroids").collect()
-    )
-    cids = [cid for cid, _ in cents_rows]
-    cents = [c for _, c in cents_rows]
+    cids, cents = load_ivf_centroids(df.sparkSession, index_path)
     # a dim mismatch fails loud inside _ivf_assign's kernel (per-batch
     # shape check) — no driver-side scan needed here
     assigned = _ivf_assign(df, cents, cids, vec_col, id_col)

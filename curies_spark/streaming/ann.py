@@ -54,15 +54,6 @@ __all__ = [
     "start_ivf_index_stream",
 ]
 
-#: default schema of the streamed embeddings table (testdata layout)
-EMBEDDING_SCHEMA = StructType(
-    [
-        StructField("vec_id", LongType(), False),
-        StructField("embedding", ArrayType(FloatType()), True),
-    ]
-)
-
-
 def _embedding_schema(id_col: str, vec_col: str) -> StructType:
     return StructType(
         [
@@ -70,6 +61,10 @@ def _embedding_schema(id_col: str, vec_col: str) -> StructType:
             StructField(vec_col, ArrayType(FloatType()), True),
         ]
     )
+
+
+#: default schema of the streamed embeddings table (testdata layout)
+EMBEDDING_SCHEMA = _embedding_schema("vec_id", "embedding")
 
 
 def read_embedding_stream(
@@ -168,14 +163,9 @@ def start_ivf_index_stream(
     idempotent under crash replay, and ``query_ivf_index``'s ``cid``
     filter partition-prunes the nested layout exactly like the flat
     batch one."""
-    from ..operators.similarity import _ivf_assign
+    from ..operators.similarity import _ivf_assign, load_ivf_centroids
 
-    cents_rows = sorted(
-        (r["cid"], r["centroid"])
-        for r in spark.read.parquet(index_path + "_centroids").collect()
-    )
-    cids = [cid for cid, _ in cents_rows]
-    cents = [c for _, c in cents_rows]
+    cids, cents = load_ivf_centroids(spark, index_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         assigned = _ivf_assign(batch, cents, cids, vec_col, id_col)

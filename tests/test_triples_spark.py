@@ -280,6 +280,7 @@ def test_dataframe_module_filter_indexes(spark):
     """curies_spark.dataframe boolean-column twins of the reference's
     pandas boolean-Series indexes (reference dataframe.py:83-226)."""
     import pytest as _pytest
+    from pyspark.sql import functions as F
 
     from curies_spark import Converter
     from curies_spark.dataframe import (
@@ -300,12 +301,21 @@ def test_dataframe_module_filter_indexes(spark):
         [{"prefix": "CHEBI", "prefix_synonyms": ["chebi"],
           "uri_prefix": "http://purl.obolibrary.org/obo/CHEBI_"}]
     )
+    known = df.filter(~F.col("curie").startswith("GO"))
+    idx = get_filter_df_by_prefixes_index(
+        known, column="curie", prefixes=["CHEBI"], method="precalculated",
+        validate=True, converter=conv,
+    )
+    # synonym prefix standardizes to CHEBI before membership
+    assert {r["curie"] for r in known.filter(idx).collect()} == {"CHEBI:1", "chebi:3"}
+    # validate=True raises on out-of-converter prefixes at execution,
+    # like the reference's strict parse (not a silent NULL drop)
     idx = get_filter_df_by_prefixes_index(
         df, column="curie", prefixes=["CHEBI"], method="precalculated",
         validate=True, converter=conv,
     )
-    # synonym prefix standardizes to CHEBI before membership
-    assert {r["curie"] for r in df.filter(idx).collect()} == {"CHEBI:1", "chebi:3"}
+    with _pytest.raises(Exception, match="could not standardize"):
+        df.filter(idx).collect()
     with _pytest.raises(ValueError, match="converter"):
         get_filter_df_by_prefixes_index(
             df, column="curie", prefixes=["CHEBI"], method="precalculated"
