@@ -298,11 +298,16 @@ def run_dedup_pipeline(
     staged = spark.read.parquet(staged_path)
 
     # exact dedup first: one winner per content hash; near-dup stages
-    # then operate on exact-group winners only
+    # then operate on exact-group winners only. Persisted: the aggregate
+    # feeds the dup-group count, the winner count, AND the semi-join —
+    # unpersisted it would run three times (the same
+    # recompute-per-consumer shape the candidate join had)
     winners = (
         staged.groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("_n"))
+        .persist()
     )
+    n_exact_winners = winners.count()
     n_exact_dups = winners.filter(F.col("_n") > 1).count()
     staged_winners = staged.join(
         winners.select(id_col), on=id_col, how="left_semi"
@@ -313,6 +318,7 @@ def run_dedup_pipeline(
     # computation instead of running the join twice (round-3 finding)
     candidates = band_pairs(staged_winners, id_col=id_col).persist()
     n_candidates = candidates.count()
+    winners.unpersist()
     verified = verify_pairs(
         candidates, staged, id_col=id_col, min_est_jaccard=min_est_jaccard
     )
@@ -341,7 +347,7 @@ def run_dedup_pipeline(
         "input_docs": n_staged,
         "staged_docs": n_staged,
         "exact_dup_groups_gt1": n_exact_dups,
-        "exact_winners": winners.count(),
+        "exact_winners": n_exact_winners,
         "candidate_pairs": n_candidates,
         "verified_pairs": n_pairs,
         "clustered_docs": n_clustered,
