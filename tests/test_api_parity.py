@@ -212,8 +212,8 @@ def test_submodule_import_parity():
     skipped = {"TrieNode"}
     for ref_mod in sorted(Path("/root/reference/src/curies").glob("*.py")):
         name = ref_mod.stem
-        if name.startswith("_") or name in ("cli", "resolver_service", "database"):
-            continue  # CLI/services/database have their own dedicated tests
+        if name.startswith("_") or name in ("cli", "database"):
+            continue  # CLI/database (lazy sqlalchemy) have dedicated tests
         tree = ast.parse(ref_mod.read_text())
         ref_all = None
         for node in ast.walk(tree):
@@ -245,3 +245,19 @@ def test_submodule_import_parity():
             break
     missing = [n for n in ref_all if not hasattr(t, n)]
     assert not missing, f"curies_spark.triples missing {missing}"
+
+    # the mapping_service package surface
+    import curies_spark.mapping_service as ms
+
+    ref_ms = Path(
+        "/root/reference/src/curies/mapping_service/__init__.py"
+    ).read_text()
+    tree = ast.parse(ref_ms)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(x, "id", "") == "__all__" for x in node.targets
+        ):
+            ref_all = ast.literal_eval(node.value)
+            break
+    missing = [n for n in ref_all if not hasattr(ms, n)]
+    assert not missing, f"curies_spark.mapping_service missing {missing}"
