@@ -126,3 +126,73 @@ def test_io_round_trip(tmp_path):
     back = T.read_triples(path)
     assert back == triples
     assert path.read_text().splitlines()[0] == "subject\tpredicate\tobject"
+
+
+def test_filters_differential_random():
+    """Randomized triples: every iterator filter agrees with the
+    reference library's implementation (single-prefix and set forms,
+    reference/collection forms)."""
+    rng = random.Random(23)
+    prefixes = ["p", "q", "r"]
+    for _ in range(10):
+        edges = [
+            (
+                f"{rng.choice(prefixes)}:{rng.randrange(5)}",
+                f"{rng.choice(prefixes)}:{rng.randrange(5)}",
+            )
+            for _ in range(rng.randrange(2, 15))
+        ]
+        ours = _ours(*edges)
+        theirs = [
+            ref_triples.Triple(subject=s, predicate=EXACT, object=o) for s, o in edges
+        ]
+
+        def same(got, want):
+            assert [t.as_str_triple() for t in got] == [
+                (t.subject.curie, t.predicate.curie, t.object.curie) for t in want
+            ]
+
+        pset = {"p", "q"}
+        same(
+            T.keep_prefixes_both(ours, pset),
+            ref_triples.keep_prefixes_both(theirs, pset),
+        )
+        for arg in ("p", pset):
+            same(
+                T.keep_prefixes_either(ours, arg),
+                ref_triples.keep_prefixes_either(theirs, arg),
+            )
+            same(
+                T.keep_subject_prefixes(ours, arg),
+                ref_triples.keep_subject_prefixes(theirs, arg),
+            )
+            same(
+                T.keep_object_prefixes(ours, arg),
+                ref_triples.keep_object_prefixes(theirs, arg),
+            )
+            same(
+                T.exclude_prefixes_both(ours, arg),
+                ref_triples.exclude_prefixes_both(theirs, arg),
+            )
+            same(
+                T.exclude_subject_prefixes(ours, arg),
+                ref_triples.exclude_subject_prefixes(theirs, arg),
+            )
+            same(
+                T.exclude_object_prefixes(ours, arg),
+                ref_triples.exclude_object_prefixes(theirs, arg),
+            )
+        same(
+            T.exclude_same_prefixes(ours),
+            ref_triples.exclude_same_prefixes(theirs),
+        )
+        refs = [Reference.from_curie(edges[0][0]), Reference.from_curie(edges[0][1])]
+        rrefs = [ref.Reference.from_curie(c.curie) for c in refs]
+        same(
+            T.keep_references_either(ours, refs),
+            ref_triples.keep_references_either(theirs, rrefs),
+        )
+        same(
+            T.exclude_references_both(ours, refs),
+            ref_triples.exclude_references_both(theirs, rrefs),
+        )
