@@ -45,5 +45,14 @@ class MappingServiceSPARQLProcessor:
         self, sparql: str, *args: Any, **kwargs: Any
     ) -> "tuple[list[str], list[dict[str, str]]]":
         """Evaluate a sameAs-service SPARQL query against the graph:
-        returns (variable names, binding rows)."""
+        returns (variable names, binding rows). rdflib-specific extras
+        (``initBindings``/``initNs``/positional context) are NOT
+        supported — fail loud rather than silently evaluating the bare
+        query with the caller's bindings ignored."""
+        if args or kwargs:
+            raise TypeError(
+                "MappingServiceSPARQLProcessor.query supports only the "
+                f"query string; got extras {args!r} {sorted(kwargs)!r} — "
+                "inline bindings as a VALUES clause instead"
+            )
         return evaluate_sparql(self.graph, sparql)

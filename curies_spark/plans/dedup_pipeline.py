@@ -318,7 +318,6 @@ def run_dedup_pipeline(
     # computation instead of running the join twice (round-3 finding)
     candidates = band_pairs(staged_winners, id_col=id_col).persist()
     n_candidates = candidates.count()
-    winners.unpersist()
     verified = verify_pairs(
         candidates, staged, id_col=id_col, min_est_jaccard=min_est_jaccard
     )
@@ -337,6 +336,9 @@ def run_dedup_pipeline(
     survivors = _survivors_frame(staged_winners, components, id_col=id_col)
     survivors_path = str(out / "survivors")
     survivors.write.mode("overwrite").parquet(survivors_path)
+    # staged_winners (via the winners semi-join) was consumed again by
+    # the survivors write — only now is the aggregate free to go
+    winners.unpersist()
 
     # counted on the narrow staged table: counting the raw corpus would
     # re-touch the text files (the staging pass must stay the ONLY read

@@ -199,6 +199,20 @@ def test_bind_rdflib_binds_all_records():
     assert ("chebi", "http://purl.obolibrary.org/obo/CHEBI_") in g2.bound
 
 
+def _ref_all(path):
+    """Parse a reference module's __all__ — loud failure when absent so
+    a future reference layout change can't silently skip a surface."""
+    import ast
+
+    tree = ast.parse(path.read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            getattr(t, "id", "") == "__all__" for t in node.targets
+        ):
+            return ast.literal_eval(node.value)
+    raise AssertionError(f"no __all__ found in {path}")
+
+
 def test_submodule_import_parity():
     """Every reference submodule's ``__all__`` is importable from the
     SAME path under curies_spark (``from curies.w3c import …`` ports as
@@ -214,16 +228,10 @@ def test_submodule_import_parity():
         name = ref_mod.stem
         if name.startswith("_") or name in ("cli", "database"):
             continue  # CLI/database (lazy sqlalchemy) have dedicated tests
-        tree = ast.parse(ref_mod.read_text())
-        ref_all = None
-        for node in ast.walk(tree):
-            if isinstance(node, ast.Assign) and any(
-                getattr(t, "id", "") == "__all__" for t in node.targets
-            ):
-                ref_all = ast.literal_eval(node.value)
-                break
-        if not ref_all:
-            continue
+        try:
+            ref_all = _ref_all(ref_mod)
+        except AssertionError:
+            continue  # module publishes no __all__ surface
         ours = importlib.import_module(f"curies_spark.{name}")
         missing = [
             n
@@ -235,29 +243,15 @@ def test_submodule_import_parity():
     # the triples package surface (directory module in the reference)
     import curies_spark.triples as t
 
-    ref_triples = Path("/root/reference/src/curies/triples/__init__.py").read_text()
-    tree = ast.parse(ref_triples)
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Assign) and any(
-            getattr(x, "id", "") == "__all__" for x in node.targets
-        ):
-            ref_all = ast.literal_eval(node.value)
-            break
+    ref_all = _ref_all(Path("/root/reference/src/curies/triples/__init__.py"))
     missing = [n for n in ref_all if not hasattr(t, n)]
     assert not missing, f"curies_spark.triples missing {missing}"
 
     # the mapping_service package surface
     import curies_spark.mapping_service as ms
 
-    ref_ms = Path(
-        "/root/reference/src/curies/mapping_service/__init__.py"
-    ).read_text()
-    tree = ast.parse(ref_ms)
-    for node in ast.walk(tree):
-        if isinstance(node, ast.Assign) and any(
-            getattr(x, "id", "") == "__all__" for x in node.targets
-        ):
-            ref_all = ast.literal_eval(node.value)
-            break
+    ref_all = _ref_all(
+        Path("/root/reference/src/curies/mapping_service/__init__.py")
+    )
     missing = [n for n in ref_all if not hasattr(ms, n)]
     assert not missing, f"curies_spark.mapping_service missing {missing}"
