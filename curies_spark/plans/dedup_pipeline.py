@@ -318,8 +318,10 @@ def run_dedup_pipeline(
     # computation instead of running the join twice (round-3 finding)
     candidates = band_pairs(staged_winners, id_col=id_col).persist()
     n_candidates = candidates.count()
+    # candidate ids are winners only, so the smaller winners slice is
+    # the right signature side for the verify joins
     verified = verify_pairs(
-        candidates, staged, id_col=id_col, min_est_jaccard=min_est_jaccard
+        candidates, staged_winners, id_col=id_col, min_est_jaccard=min_est_jaccard
     )
     pairs_path = str(out / "pairs")
     verified.write.mode("overwrite").parquet(pairs_path)
