@@ -558,3 +558,36 @@ def test_stream_ivf_index_matches_batch_append(spark, tmp_path):
     q = start_ivf_index_stream(spark, src, idx, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(idx).count() == n == emb.count()
+
+
+def test_stream_dedup_shuffle_fallback_above_broadcast_cap(spark, tmp_path, monkeypatch):
+    """Above BROADCAST_NOVEL_CAP the batch-vs-store band join degrades
+    from a forced broadcast to a shuffle join — same pairs, no
+    broadcast-size hazard on cold-start backfills."""
+    from pyspark.sql import Row
+
+    from curies_spark.streaming import dedup as SD
+
+    monkeypatch.setattr(SD, "BROADCAST_NOVEL_CAP", 1)
+
+    src = str(tmp_path / "bdocs")
+    out = str(tmp_path / "bout")
+    ckpt = str(tmp_path / "bckpt")
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base.replace("w5", "x").replace("w20", "y").replace("w33", "z")
+
+    spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="other unrelated thing")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = SD.start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [Row(doc_id=10, text=near), Row(doc_id=11, text="still different words")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = SD.start_dedup_stream(spark, src, out, ckpt)
+    q.awaitTermination(120)
+
+    import glob
+
+    pairs = spark.read.parquet(*glob.glob(f"{out}/pairs/batch=*"))
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 10)}

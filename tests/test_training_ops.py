@@ -735,3 +735,13 @@ def test_exact_dup_groups_max_ids_caps_before_aggregation(spark):
     assert len(got) == 1
     assert got[0]["n_docs"] == 10          # true count survives the cap
     assert got[0]["doc_ids"] == [1, 2, 3]  # smallest ids kept
+
+
+def test_connected_components_empty_and_single_edge(spark):
+    from pyspark.sql import Row
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.connected_components(empty).count() == 0
+    one = spark.createDataFrame([Row(id_a=5, id_b=2)])
+    got = {(r["node"], r["component"]) for r in D.connected_components(one).collect()}
+    assert got == {(2, 2), (5, 2)}
