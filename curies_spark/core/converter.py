@@ -194,6 +194,8 @@ class Converter:
         delimiter: str = ":",
         strict: bool = True,
     ) -> None:
+        if hasattr(records, "root"):  # a Records root model — unwrap
+            records = records.root
         records = sorted(records or [], key=lambda r: r.prefix)
         if strict:
             duplicate_uri_prefixes = _get_duplicate_uri_prefixes(records)

@@ -28,6 +28,20 @@ __all__ = [
     "records_to_dicts",
 ]
 
+def _split_strict(curie: str, sep: str) -> "tuple[str, str]":
+    """First-delimiter split that REQUIRES the delimiter (reference
+    utils.py:22-27 ``_split``, raised by every ``from_curie``
+    constructor — ``Reference.from_curie("not a curie")`` is an error,
+    not a ``("not a curie", "")`` pair). Imported lazily to avoid the
+    record ↔ converter module cycle."""
+    from .converter import NoCURIEDelimiterError
+
+    prefix, delimiter, identifier = curie.partition(sep)
+    if not delimiter:
+        raise NoCURIEDelimiterError(curie)
+    return prefix, identifier
+
+
 def _converter_from_context(context: Any) -> Any:
     """Resolve a converter from a pydantic validation context: either
     the converter itself or a ``{"converter": ...}`` dict (reference
@@ -102,10 +116,10 @@ class ReferenceTuple(NamedTuple):
 
     @classmethod
     def from_curie(cls, curie: str, *, sep: str = ":") -> "ReferenceTuple":
-        """Parse from a CURIE string, splitting on the first delimiter
-        (reference api.py:144-157)."""
-        prefix, _, identifier = curie.partition(sep)
-        return cls(prefix, identifier)
+        """Parse from a CURIE string, splitting on the first delimiter;
+        a string WITHOUT the delimiter raises ``NoCURIEDelimiterError``
+        (reference api.py:144-157 via utils ``_split``)."""
+        return cls(*_split_strict(curie, sep))
 
     def to_pydantic(self, *, name: "str | None" = None) -> "Reference":
         """Promote to a full reference object — named when a non-empty
@@ -182,11 +196,16 @@ class Reference:
 
     @classmethod
     def from_curie(cls, curie: str, *, sep: str = ":") -> "Reference":
-        prefix, _, identifier = curie.partition(sep)
+        """Delimiter required — raises ``NoCURIEDelimiterError``
+        otherwise (reference api.py:493-506)."""
+        prefix, identifier = _split_strict(curie, sep)
         return cls(prefix, identifier)
 
     @classmethod
     def from_reference(cls, reference: "ReferenceTuple | Reference") -> "Reference":
+        """A plain reference from any reference-shaped value — names are
+        deliberately dropped (reference api.py:508-521; the namable
+        subclasses override to carry them)."""
         return cls(reference.prefix, reference.identifier)
 
     @classmethod
@@ -252,23 +271,54 @@ class NamableReference(Reference):
     def from_curie(  # type: ignore[override]
         cls, curie: str, name: "str | None" = None, *, sep: str = ":"
     ) -> "NamableReference":
-        prefix, _, identifier = curie.partition(sep)
+        prefix, identifier = _split_strict(curie, sep)
         return cls(prefix, identifier, name)
+
+    @classmethod
+    def from_reference(  # type: ignore[override]
+        cls, reference: "ReferenceTuple | Reference"
+    ) -> "NamableReference":
+        """Carries the source's name when it has one (reference
+        test_struct.py:113-142 semantics)."""
+        return cls(
+            reference.prefix, reference.identifier, getattr(reference, "name", None)
+        )
 
 
 @dataclass(frozen=True, eq=False)
 class NamedReference(NamableReference):
     """A reference with a required human-readable label
-    (reference api.py:601-653 ``NamedReference``)."""
+    (reference api.py:601-653 ``NamedReference``): ``name=None`` is an
+    error (the pydantic original fails validation)."""
 
     name: str = ""
+
+    def __post_init__(self) -> None:
+        if self.name is None:
+            raise ValueError("NamedReference requires a name, got None")
 
     @classmethod
     def from_curie(  # type: ignore[override]
         cls, curie: str, name: str = "", *, sep: str = ":"
     ) -> "NamedReference":
-        prefix, _, identifier = curie.partition(sep)
+        prefix, identifier = _split_strict(curie, sep)
         return cls(prefix, identifier, name)
+
+    @classmethod
+    def from_reference(  # type: ignore[override]
+        cls, reference: "ReferenceTuple | Reference"
+    ) -> "NamedReference":
+        """Requires a named source: a bare tuple/Reference has no name
+        to carry (TypeError), and ``name=None`` fails like the pydantic
+        original's validation (reference test_struct.py:136-142)."""
+        try:
+            name = reference.name  # type: ignore[union-attr]
+        except AttributeError as exc:
+            raise TypeError(
+                f"cannot build a NamedReference from a "
+                f"{type(reference).__name__} without a name"
+            ) from exc
+        return cls(reference.prefix, reference.identifier, name)
 
 
 @dataclass
@@ -375,9 +425,24 @@ def records_to_dicts(records: Iterable[Record]) -> list[dict[str, Any]]:
     return [r.to_dict() for r in records]
 
 
-#: A list of extended-prefix-map records (reference api.py:732-760 wraps
-#: this in a pydantic root model for (de)serialization; plain list here).
-Records = list
+try:  # pragma: no cover - exercised whenever pydantic is installed
+    from pydantic import RootModel as _RecordsRootModel
+
+    class Records(_RecordsRootModel[list[Record]]):  # type: ignore[misc]
+        """A list of extended-prefix-map records as a pydantic root
+        model (reference api.py:732-760): ``Records.model_validate(
+        [{"prefix": ..., "uri_prefix": ...}, ...])`` coerces dicts to
+        :class:`Record`. The Converter accepts either this (unwrapped
+        via ``.root``) or a plain record list."""
+
+        def __iter__(self):  # iterate the records, not the model fields
+            return iter(self.root)
+
+        def __len__(self) -> int:
+            return len(self.root)
+
+except ImportError:  # pydantic absent: plain-list fallback
+    Records = list  # type: ignore[assignment,misc]
 
 
 def _as_reference(value: "str | Reference") -> Reference:
