@@ -17,6 +17,7 @@ accepted for signature parity and uses :mod:`tqdm` when installed.
 from __future__ import annotations
 
 import csv
+import gzip
 import hashlib
 from collections import defaultdict
 from pathlib import Path
@@ -349,24 +350,35 @@ def hash_triple(converter, triple: Triple, *, negate: bool = False) -> str:
 # -- io (reference triples/io.py:24-53) -------------------------------------
 
 
+def _open_text(path, mode: str):
+    """Open plain or gzip text keyed on the ``.gz`` suffix (the
+    reference's pystow safe_open behavior)."""
+    path = Path(path).expanduser()
+    if path.suffix == ".gz":
+        return gzip.open(path, mode + "t", newline="" if "w" in mode else None)
+    return path.open(mode, newline="" if "w" in mode else None)
+
+
 def write_triples(
     triples: Iterable[Triple],
     path,
     *,
     header: "Iterable[str] | None" = None,
 ) -> None:
-    """Write triples as a three-column CURIE TSV."""
-    with Path(path).expanduser().open("w", newline="") as fh:
+    """Write triples as a three-column CURIE TSV (gzipped when the
+    path ends in ``.gz``)."""
+    with _open_text(path, "w") as fh:
         writer = csv.writer(fh, delimiter="\t", lineterminator="\n")
         writer.writerow(HEADER if header is None else list(header))
         writer.writerows(t.as_str_triple() for t in triples)
 
 
 def read_triples(path, *, reference_cls: "type | None" = None) -> "list[Triple]":
-    """Read triples from a three-column CURIE TSV (the header row is
-    skipped; ``reference_cls`` customizes the parsed reference type)."""
+    """Read triples from a three-column CURIE TSV — gzipped when the
+    path ends in ``.gz``; the header row is skipped; ``reference_cls``
+    customizes the parsed reference type."""
     cls = reference_cls or Reference
-    with Path(path).expanduser().open() as fh:
+    with _open_text(path, "r") as fh:
         reader = csv.reader(fh, delimiter="\t")
         next(reader)
         return [

@@ -196,3 +196,40 @@ def test_filters_differential_random():
             T.exclude_references_both(ours, refs),
             ref_triples.exclude_references_both(theirs, rrefs),
         )
+
+
+def test_triple_model_contract(tmp_path):
+    """Reference tests/test_triples/test_models.py: immutability, CURIE
+    stringification, gz+header round trips, sorting, and the PUBLISHED
+    hash vectors (ts4nfdi mapping-sameness-identifier examples)."""
+    import dataclasses
+    import itertools as itt
+
+    t1 = T.Triple.from_curies("a:1", "a:2", "a:3")
+    t2 = T.Triple.from_curies("a:1", "a:2", "a:4")
+    with pytest.raises(dataclasses.FrozenInstanceError):
+        t1.subject = Reference.from_curie("b:1")
+    assert t1.as_str_triple() == ("a:1", "a:2", "a:3")
+    assert sorted([t2, t1]) == [t1, t2]
+
+    for name, header in itt.product(
+        ("t.tsv", "t.tsv.gz"), (None, ("a", "b", "c"))
+    ):
+        path = tmp_path / name
+        T.write_triples([t1, t2], path, header=header)
+        assert T.read_triples(path) == [t1, t2]
+
+    assert T.encode_uri_triple(
+        (
+            "http://example.org/feline",
+            "http://www.w3.org/2002/07/owl#sameAs",
+            "http://example.com/cat",
+        )
+    ) == "95a088082ab2b2a68638aebbcc3fe3e0f229da75a8b5bdbb9f3f8cd5e1e4286e"
+    assert T.encode_uri_triple(
+        (
+            "http://id.nlm.nih.gov/mesh/C000089",
+            "http://www.w3.org/2004/02/skos/core#exactMatch",
+            "http://purl.obolibrary.org/obo/CHEBI_28646",
+        )
+    ) == "36a1f9244ea7641a90987c82f33c25c0c13712ee8f48207b2a0825f8a4e4e26a"
