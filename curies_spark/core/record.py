@@ -30,16 +30,13 @@ __all__ = [
 
 def _split_strict(curie: str, sep: str) -> "tuple[str, str]":
     """First-delimiter split that REQUIRES the delimiter (reference
-    utils.py:22-27 ``_split``, raised by every ``from_curie``
-    constructor — ``Reference.from_curie("not a curie")`` is an error,
-    not a ``("not a curie", "")`` pair). Imported lazily to avoid the
-    record ↔ converter module cycle."""
-    from .converter import NoCURIEDelimiterError
+    utils.py:22-27 — ``Reference.from_curie("not a curie")`` is an
+    error, not a ``("not a curie", "")`` pair). Delegates to the ONE
+    ``_split`` definition in the converter module, imported lazily to
+    avoid the record ↔ converter module cycle."""
+    from .converter import _split
 
-    prefix, delimiter, identifier = curie.partition(sep)
-    if not delimiter:
-        raise NoCURIEDelimiterError(curie)
-    return prefix, identifier
+    return _split(curie, sep=sep)
 
 
 def _converter_from_context(context: Any) -> Any:
@@ -291,15 +288,21 @@ class NamedReference(NamableReference):
     (reference api.py:601-653 ``NamedReference``): ``name=None`` is an
     error (the pydantic original fails validation)."""
 
-    name: str = ""
+    #: None is only the dataclass-inheritance sentinel (a field after the
+    #: parent's defaulted one must have a default); the reference field
+    #: is REQUIRED, so construction without a real string name raises
+    name: str = None  # type: ignore[assignment]
 
     def __post_init__(self) -> None:
         if self.name is None:
-            raise ValueError("NamedReference requires a name, got None")
+            raise ValueError(
+                "NamedReference requires a name (the reference model's "
+                "name field is required; '' is allowed, None/omitted is not)"
+            )
 
     @classmethod
     def from_curie(  # type: ignore[override]
-        cls, curie: str, name: str = "", *, sep: str = ":"
+        cls, curie: str, name: str, *, sep: str = ":"
     ) -> "NamedReference":
         prefix, identifier = _split_strict(curie, sep)
         return cls(prefix, identifier, name)

@@ -120,3 +120,15 @@ def test_with_name_round_trip():
     assert isinstance(r2, NamedReference)
     r3 = r2.without_name()
     assert isinstance(r3, Reference) and not isinstance(r3, NamableReference)
+
+
+def test_named_reference_name_required():
+    """The reference's name field is required: omitted or None fails;
+    an explicit empty string is allowed (it is a valid str there)."""
+    with pytest.raises(ValueError):
+        NamedReference("a", "1")
+    with pytest.raises(ValueError):
+        NamedReference("a", "1", None)
+    assert NamedReference("a", "1", "").name == ""
+    with pytest.raises(TypeError):
+        NamedReference.from_curie("a:1")  # name is a required argument
