@@ -344,3 +344,74 @@ def test_vocabulary_constants() -> None:
     # NamedReference is hashable + ordered like Reference
     assert len({v.exact_match, v.close_match, v.exact_match}) == 2
     assert sorted([v.close_match, v.broad_match])[0].identifier == "broadMatch"
+
+
+# ---------------------------------------------------------------------------
+# prefix-map writer round trips (reference tests/test_io.py)
+# ---------------------------------------------------------------------------
+
+
+def _io_converter():
+    from curies_spark import Converter
+
+    return Converter.from_extended_prefix_map(
+        [
+            {
+                "prefix": "CHEBI",
+                "prefix_synonyms": ["p"],
+                "uri_prefix": "http://purl.obolibrary.org/obo/CHEBI_",
+                "uri_prefix_synonyms": ["u"],
+                "pattern": "^\\d{7}$",
+            }
+        ]
+    )
+
+
+def test_write_epm_round_trip(tmp_path):
+    """Reference tests/test_io.py:40-47: records AND patterns survive."""
+    import curies_spark as cs
+
+    c = _io_converter()
+    path = tmp_path / "epm.json"
+    cs.write_extended_prefix_map(c, path)
+    nc = cs.load_extended_prefix_map(path)
+    assert nc.records == c.records
+    assert nc.pattern_map == {"CHEBI": "^\\d{7}$"}
+
+
+def test_write_jsonld_round_trip_and_synonyms(tmp_path):
+    """Reference tests/test_io.py:49-73: the bimap round-trips (prefix
+    synonyms do NOT survive), include_synonyms adds synonym keys, and
+    the expanded form emits @prefix terms."""
+    import json as _json
+
+    import curies_spark as cs
+
+    c = _io_converter()
+    uri = "http://purl.obolibrary.org/obo/CHEBI_"
+    path = tmp_path / "ctx.json"
+    cs.write_jsonld_context(c, path)
+    nc = cs.load_jsonld_context(path)
+    assert nc.prefix_map == {"CHEBI": uri}
+    assert nc.reverse_prefix_map == {uri: "CHEBI"}
+    assert nc.bimap == {"CHEBI": uri}
+
+    cs.write_jsonld_context(c, path, include_synonyms=True)
+    data = _json.loads(path.read_text())["@context"]
+    assert set(data) == {"CHEBI", "p"}
+
+    cs.write_jsonld_context(c, path, expand=True)
+    data = _json.loads(path.read_text())["@context"]
+    assert data["CHEBI"] == {"@prefix": True, "@id": uri}
+
+
+def test_write_tsv(tmp_path):
+    import curies_spark as cs
+
+    c = _io_converter()
+    path = tmp_path / "pm.tsv"
+    cs.write_tsv(c, path)
+    assert path.read_text().splitlines() == [
+        "prefix\tbase",
+        "CHEBI\thttp://purl.obolibrary.org/obo/CHEBI_",
+    ]
