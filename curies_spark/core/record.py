@@ -50,6 +50,17 @@ def _converter_from_context(context: Any) -> Any:
     return context if hasattr(context, "standardize_prefix") else None
 
 
+def _standardize_prefix(prefix: str, converter: Any) -> str:
+    """Converter-context prefix standardization for the ``from_curie`` /
+    ``from_reference`` classmethods — the reference routes these through
+    ``model_validate(..., context=converter)`` (api.py:493-521, 537-575,
+    604-653), which canonicalizes synonyms and raises on unknown
+    prefixes; without a converter the prefix passes through unchanged."""
+    if converter is None:
+        return prefix
+    return converter.standardize_prefix(prefix, strict=True)
+
+
 class Prefix(str):
     """A CURIE prefix: a plain ``str`` subclass (picklable, broadcast-
     safe, usable anywhere a string is) that carries the reference's
@@ -192,18 +203,26 @@ class Reference:
         return NamedReference(self.prefix, self.identifier, name)
 
     @classmethod
-    def from_curie(cls, curie: str, *, sep: str = ":") -> "Reference":
+    def from_curie(
+        cls, curie: str, *, sep: str = ":", converter: Any = None
+    ) -> "Reference":
         """Delimiter required — raises ``NoCURIEDelimiterError``
-        otherwise (reference api.py:493-506)."""
+        otherwise (reference api.py:493-506). ``converter`` provides the
+        validation context: the prefix is standardized strictly through
+        it (synonyms canonicalize, unknown prefixes raise)."""
         prefix, identifier = _split_strict(curie, sep)
-        return cls(prefix, identifier)
+        return cls(_standardize_prefix(prefix, converter), identifier)
 
     @classmethod
-    def from_reference(cls, reference: "ReferenceTuple | Reference") -> "Reference":
+    def from_reference(
+        cls, reference: "ReferenceTuple | Reference", *, converter: Any = None
+    ) -> "Reference":
         """A plain reference from any reference-shaped value — names are
         deliberately dropped (reference api.py:508-521; the namable
         subclasses override to carry them)."""
-        return cls(reference.prefix, reference.identifier)
+        return cls(
+            _standardize_prefix(reference.prefix, converter), reference.identifier
+        )
 
     @classmethod
     def __get_pydantic_core_schema__(cls, source: Any, handler: Any) -> Any:
@@ -266,19 +285,26 @@ class NamableReference(Reference):
 
     @classmethod
     def from_curie(  # type: ignore[override]
-        cls, curie: str, name: "str | None" = None, *, sep: str = ":"
+        cls,
+        curie: str,
+        name: "str | None" = None,
+        *,
+        sep: str = ":",
+        converter: Any = None,
     ) -> "NamableReference":
         prefix, identifier = _split_strict(curie, sep)
-        return cls(prefix, identifier, name)
+        return cls(_standardize_prefix(prefix, converter), identifier, name)
 
     @classmethod
     def from_reference(  # type: ignore[override]
-        cls, reference: "ReferenceTuple | Reference"
+        cls, reference: "ReferenceTuple | Reference", *, converter: Any = None
     ) -> "NamableReference":
         """Carries the source's name when it has one (reference
         test_struct.py:113-142 semantics)."""
         return cls(
-            reference.prefix, reference.identifier, getattr(reference, "name", None)
+            _standardize_prefix(reference.prefix, converter),
+            reference.identifier,
+            getattr(reference, "name", None),
         )
 
 
@@ -302,14 +328,14 @@ class NamedReference(NamableReference):
 
     @classmethod
     def from_curie(  # type: ignore[override]
-        cls, curie: str, name: str, *, sep: str = ":"
+        cls, curie: str, name: str, *, sep: str = ":", converter: Any = None
     ) -> "NamedReference":
         prefix, identifier = _split_strict(curie, sep)
-        return cls(prefix, identifier, name)
+        return cls(_standardize_prefix(prefix, converter), identifier, name)
 
     @classmethod
     def from_reference(  # type: ignore[override]
-        cls, reference: "ReferenceTuple | Reference"
+        cls, reference: "ReferenceTuple | Reference", *, converter: Any = None
     ) -> "NamedReference":
         """Requires a named source: a bare tuple/Reference has no name
         to carry (TypeError), and ``name=None`` fails like the pydantic
@@ -321,7 +347,9 @@ class NamedReference(NamableReference):
                 f"cannot build a NamedReference from a "
                 f"{type(reference).__name__} without a name"
             ) from exc
-        return cls(reference.prefix, reference.identifier, name)
+        return cls(
+            _standardize_prefix(reference.prefix, converter), reference.identifier, name
+        )
 
 
 @dataclass

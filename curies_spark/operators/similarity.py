@@ -101,6 +101,14 @@ def _flat_valid(a, b=None):
                     f"ragged vector lengths in batch: {lo.as_py()}..{hi.as_py()} "
                     "— all vectors must share one dimension"
                 )
+            if hi.as_py() == 0:
+                # an all-zero-length batch would otherwise surface as an
+                # opaque numpy reshape error (and skip the kernels' own
+                # dimension checks entirely)
+                raise ValueError(
+                    "zero-length vectors in batch — every vector must have "
+                    "at least one element"
+                )
         flat = np.asarray(x.flatten(), dtype=np.float64)
         mats.append(flat.reshape(len(x), -1) if len(x) else flat.reshape(0, 0))
     return valid, mats

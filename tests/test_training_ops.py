@@ -724,6 +724,19 @@ def test_blas_cosine_rejects_ragged_batches(spark):
         df.select(S.cosine_vs_query_col(F.col("v"), [1.0, 0.0]).alias("c")).collect()
 
 
+def test_blas_cosine_rejects_zero_length_batches(spark):
+    """An all-zero-length batch passes the ragged check (lo == hi == 0)
+    but cannot be reshaped — it must raise the descriptive dimension
+    error, not numpy's opaque reshape failure."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(v=[]), Row(v=[])], "v array<double>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="zero-length"):
+        df.select(S.cosine_vs_query_col(F.col("v"), [1.0, 0.0]).alias("c")).collect()
+
+
 def test_exact_dup_groups_max_ids_caps_before_aggregation(spark):
     from pyspark.sql import Row
 

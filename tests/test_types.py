@@ -130,3 +130,34 @@ def test_reference_name_methods():
 def test_reference_pydantic_missing_fields():
     with pytest.raises(ValidationError):
         WrappedCURIE.model_validate({"reference": {"identifier": "x"}})
+
+
+def test_from_curie_converter_context(converter):
+    """The classmethod constructors accept ``converter=`` like the
+    reference (api.py:493-521, 537-575, 604-653): the prefix is
+    standardized strictly through it — synonyms canonicalize, unknown
+    prefixes raise — outside pydantic model validation."""
+    from curies_spark import NamableReference, NamedReference
+    from curies_spark.core.converter import PrefixStandardizationError
+
+    assert Reference.from_curie("chebi:1234", converter=converter).curie == (
+        "CHEBI:1234"
+    )
+    assert Reference.from_curie("chebi:1234").curie == "chebi:1234"
+    nam = NamableReference.from_curie("chebi:1234", "alcohol", converter=converter)
+    assert (nam.prefix, nam.name) == ("CHEBI", "alcohol")
+    named = NamedReference.from_curie("chebi:1234", "alcohol", converter=converter)
+    assert (named.prefix, named.name) == ("CHEBI", "alcohol")
+    with pytest.raises(PrefixStandardizationError):
+        Reference.from_curie("MONDO:1234", converter=converter)
+
+
+def test_from_reference_converter_context(converter):
+    from curies_spark import NamableReference, NamedReference
+
+    src = Reference("chebi", "1234")
+    assert Reference.from_reference(src, converter=converter).prefix == "CHEBI"
+    assert NamableReference.from_reference(src, converter=converter).prefix == "CHEBI"
+    named_src = NamedReference("chebi", "1234", "alcohol")
+    out = NamedReference.from_reference(named_src, converter=converter)
+    assert (out.prefix, out.name) == ("CHEBI", "alcohol")
