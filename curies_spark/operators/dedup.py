@@ -156,15 +156,14 @@ def minhash_signature(
     df: DataFrame, *, text: str = "text", id_col: str = "doc_id", k: int = 3
 ) -> DataFrame:
     """Per-document MinHash signature via the shuffle-free batch kernel
-    (:func:`minhash_signature_col`). Output schema matches
-    :func:`minhash_signature_exploded` (the differential twin), and
-    values agree on ASCII input — the kernel tokenizes with Python's
-    Unicode whitespace classes while the exploded twin splits on the
-    JVM's ASCII ``\\s+``, so exotic separators (NBSP, U+2028) can
-    diverge; see :func:`minhash_signature_col`'s docstring. As a
-    map-only pass, no shingle explosion is ever shuffled: at corpus
-    scale the signature stage costs a single read of the text column
-    instead of a ~k×-the-corpus shuffle."""
+    (:func:`minhash_signature_col`). Output schema AND values match
+    :func:`minhash_signature_exploded` (the differential twin) on any
+    input — both tokenize on the engine's ONE explicit whitespace class
+    (:data:`~curies_spark.operators.text.WS_CHARS`), including
+    NBSP/U+2028-style separators real corpora contain. As a map-only
+    pass, no shingle explosion is ever shuffled: at corpus scale the
+    signature stage costs a single read of the text column instead of a
+    ~k×-the-corpus shuffle."""
     sig = minhash_signature_col(F.col(text), k=k)
     return df.select(F.col(id_col), sig.alias("_mh")).select(
         id_col, *[F.col("_mh")[i].alias(f"mh{i}") for i in range(N_PERM)]
@@ -200,9 +199,11 @@ def minhash_signature_col(text: "Column | str", *, k: int = 3) -> Column:
     big-endian = the first 12 hex chars as a base-16 number) and
     :func:`shingles_col`'s short-document rule (fewer than ``k`` tokens
     → one shingle joining all tokens; NULL/empty text → the ``""``
-    shingle). Tokenization lowercases and splits on whitespace — like
-    :func:`simhash_col`, Python's (Unicode) whitespace classes, which
-    agree with the JVM form on ASCII input.
+    shingle). Tokenization lowercases and splits on Python's whitespace
+    set — which is exactly the engine's explicit
+    :data:`~curies_spark.operators.text.WS_CHARS` class used by the JVM
+    twin and the oracles (equality of the two sets is asserted in
+    tests), so signatures agree on ANY separators, not just ASCII.
     """
     import numpy as np
 
@@ -446,7 +447,10 @@ def simhash_col(text: "Column | str", *, n_bits: int = 64) -> Column:
     Bit b of the signature is set iff the majority of the document's
     token hashes (first 8 bytes of sha256, big-endian) have bit b set
     (strict majority: ties clear the bit). NULL text → NULL; empty
-    token list → 0.
+    token list → 0. Tokenization is Python's whitespace set == the
+    engine's explicit :data:`~curies_spark.operators.text.WS_CHARS`
+    class (asserted in tests), so signatures agree with the JVM
+    tokenizers on any separators.
     """
     import numpy as np
 
@@ -581,38 +585,20 @@ def simhash_candidate_pairs(
     return cross.unionByName(star)
 
 
-def connected_components(
-    pairs: DataFrame,
-    *,
-    src: str = "id_a",
-    dst: str = "id_b",
-    max_iter: int = 50,
-) -> DataFrame:
-    """Connected components over a (numeric-id) pair table →
-    ``(node, component)`` where component = min node id in the cluster.
-
-    The step a dedup pipeline needs between candidate-pair generation
-    (MinHash/SimHash/Jaccard) and survivor selection: near-duplicate
-    relations are not transitive pair-by-pair, so clusters must be
-    closed before picking one representative per cluster.
-
-    Min-label propagation, all DataFrame ops: each round, every node
-    takes the min label among itself and its neighbors; converged when
-    ``sum(label)`` stops decreasing (labels only ever decrease, so the
-    sum is a strictly monotone progress measure — one cheap aggregate
-    per round instead of an old-vs-new join). Rounds needed = cluster
-    diameter; near-dup clusters are dense and shallow (2-4), so this
-    beats the O(log n)-round star-contraction algorithms in practice at
-    this shape — swap in large-star/small-star if clusters become long
-    chains. Lineage is cut with ``localCheckpoint`` per round so plans
-    stay flat at any iteration count.
-    """
-    edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    edges = edges.union(
+def _label_components(edges: DataFrame, *, rounds: int) -> "DataFrame | None":
+    """Min-label propagation over a symmetric edge list — the dense/
+    shallow-cluster fast path. Each round, every node takes the min
+    label among itself and its neighbors; converged when ``sum(label)``
+    stops decreasing (labels only ever decrease, so the sum is a
+    strictly monotone progress measure — one cheap aggregate per round
+    instead of an old-vs-new join). Rounds needed = cluster diameter.
+    Returns None when not converged within ``rounds`` (the caller
+    decides between failing loud and switching algorithms)."""
+    sym = edges.union(
         edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
     ).localCheckpoint(eager=False)
     labels = (
-        edges.select(F.col("_s").alias("node"))
+        sym.select(F.col("_s").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
@@ -621,8 +607,8 @@ def connected_components(
         F.sum(F.col("component").cast("decimal(38,0)")).alias("t")
     ).collect()[0]["t"]
 
-    for _ in range(max_iter):
-        msgs = edges.join(labels, edges["_d"] == labels["node"]).select(
+    for _ in range(rounds):
+        msgs = sym.join(labels, sym["_d"] == labels["node"]).select(
             F.col("_s").alias("node"), F.col("component")
         )
         labels = (
@@ -637,14 +623,162 @@ def connected_components(
         if new_total == total:
             return labels
         total = new_total
-    # silent truncation here would leak duplicates through dedup_by_pairs
-    # (stale labels on long chains look like extra clusters) — fail loud
-    raise RuntimeError(
-        f"connected_components did not converge within max_iter={max_iter} "
-        "rounds; the pair graph contains a component with diameter >= "
-        "max_iter — raise max_iter (rounds are cheap: one join + one "
-        "aggregate each) or pre-contract long chains"
+    return None
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood. Input/output
+    are big→small oriented distinct pairs (``_s > _d``)."""
+    sym = e.union(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    mins = sym.groupBy("_s").agg(F.min("_d").alias("_mn"))
+    m = mins.select(
+        F.col("_s").alias("_u"), F.least("_s", "_mn").alias("_m")
     )
+    return (
+        sym.join(m, sym["_s"] == m["_u"])
+        .filter(F.col("_d") > F.col("_s"))
+        .select(F.col("_d").alias("_s"), F.col("_m").alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: every node connects its smaller neighbors (and
+    itself) to the minimum among them. Input/output big→small."""
+    mins = e.groupBy("_s").agg(F.min("_d").alias("_m"))
+    star = e.join(mins, on="_s").select(
+        F.col("_d").alias("_s"), F.col("_m").alias("_d")
+    )
+    self_edge = mins.select(F.col("_s"), F.col("_m").alias("_d"))
+    return (
+        star.unionByName(self_edge)
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+
+
+def _star_components(edges: DataFrame, *, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components — the
+    O(log n)-round path for long-chain graphs where min-label
+    propagation's diameter-many rounds would hang. Converges to star
+    graphs rooted at each component's min id; the round count is
+    logarithmic in the largest component size regardless of diameter."""
+    nodes = (
+        edges.select(F.col("_s").alias("node"))
+        .union(edges.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.filter(F.col("_s") != F.col("_d"))
+        .select(
+            F.greatest("_s", "_d").alias("_s"), F.least("_s", "_d").alias("_d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_s").cast("decimal(38,0)")).alias("ss"),
+            F.sum(F.col("_d").cast("decimal(38,0)")).alias("sd"),
+        ).collect()[0]
+        return (row["n"], row["ss"], row["sd"])
+
+    sig = _sig(e)
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _sig(e2)
+        if new_sig == sig:
+            # the cheap (count, sums) signature is necessary, not
+            # sufficient — confirm true set equality before declaring
+            # convergence (a stale fixed-point check would hand
+            # dedup_by_pairs wrong clusters)
+            if e2.exceptAll(e).isEmpty():
+                e = e2
+                break
+        sig = new_sig
+        e = e2
+    else:
+        raise RuntimeError(
+            f"star-contraction components did not converge within "
+            f"max_iter={max_iter} rounds — rounds are logarithmic in "
+            "component size, so this indicates a bug or an extreme graph; "
+            "raise max_iter"
+        )
+    # converged: every non-root points at its component min; roots
+    # appear only on the small side. groupBy-min is defensive (the
+    # fixed point has one row per non-root already).
+    comp = e.groupBy("_s").agg(F.min("_d").alias("component"))
+    return nodes.join(comp, nodes["node"] == comp["_s"], "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+    algorithm: str = "auto",
+    switch_after: int = 8,
+) -> DataFrame:
+    """Connected components over a (numeric-id) pair table →
+    ``(node, component)`` where component = min node id in the cluster.
+
+    The step a dedup pipeline needs between candidate-pair generation
+    (MinHash/SimHash/Jaccard) and survivor selection: near-duplicate
+    relations are not transitive pair-by-pair, so clusters must be
+    closed before picking one representative per cluster.
+
+    Two engines, one contract:
+
+    - **min-label propagation** (:func:`_label_components`): one join +
+      one aggregate per round, rounds = cluster diameter. Near-dup
+      clusters are dense and shallow (2-4 rounds), so this is the fast
+      path.
+    - **large-star/small-star contraction** (:func:`_star_components`,
+      Kiveris et al.): O(log n) rounds regardless of diameter — the
+      guard against adversarial long chains (10^5 templated documents
+      each near-dup of the next would otherwise need 10^5 propagation
+      rounds = a hung job).
+
+    ``algorithm="auto"`` (default) runs propagation for
+    ``switch_after`` rounds and, if the graph hasn't converged —
+    i.e. its diameter exceeds the dense-cluster regime — restarts on
+    star contraction, whose logarithmic rounds finish any diameter
+    within ``max_iter``. ``"label"`` / ``"star"`` force one engine
+    (label fails loud at ``max_iter`` like previous releases).
+    Lineage is cut with ``localCheckpoint`` per round in both engines
+    so plans stay flat at any iteration count.
+    """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: expected auto|label|star"
+        )
+    edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if algorithm == "star":
+        return _star_components(edges, max_iter=max_iter)
+    label_rounds = max_iter if algorithm == "label" else min(switch_after, max_iter)
+    labels = _label_components(edges, rounds=label_rounds)
+    if labels is not None:
+        return labels
+    if algorithm == "label":
+        # silent truncation here would leak duplicates through
+        # dedup_by_pairs (stale labels on long chains look like extra
+        # clusters) — fail loud
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; the pair graph contains a component with "
+            "diameter >= max_iter — raise max_iter, or use "
+            "algorithm='auto'/'star' (logarithmic rounds on long chains)"
+        )
+    return _star_components(edges, max_iter=max_iter)
 
 
 def dedup_by_pairs(

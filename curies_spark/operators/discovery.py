@@ -8,9 +8,11 @@ matching the reference's ``rsplit(delimiter, maxsplit=1)``; the LUID
 must be alphanumeric (``[\\p{L}\\p{N}]+`` ≈ ``str.isalnum``).
 
 Aggregation is ``countDistinct(luid)`` per candidate URI prefix — a
-partial+final hash aggregate; the result set (distinct URI prefixes) is
-driver-scale by construction, so the final ``ns``-numbering sort is a
-single-partition window over a tiny set.
+partial+final hash aggregate. The final ``ns``-numbering is a
+distributed two-phase global sort (range partition → per-partition
+row_number → broadcast cumulative offsets), so even a web corpus whose
+above-cutoff prefix set is NOT driver-scale numbers without a
+single-partition window.
 """
 
 from __future__ import annotations
@@ -116,14 +118,46 @@ def discover_records_df(
     )
     if cutoff is not None:
         grouped = grouped.filter(F.col("n_luids") >= cutoff)
-    # the surviving prefix set is driver-scale; a single-partition sort
-    # for deterministic ns-numbering is intentional. NULLS LAST keeps
-    # the numbering of real prefixes identical to the null-free sort.
-    w = Window.orderBy(F.col("_uri_prefix").asc_nulls_last())
+    # Distributed ns-numbering: the reference requires a GLOBAL
+    # lexicographic numbering (discovery.py:217-220), but a bare
+    # Window.orderBy is a single-partition sort — fine on a curated
+    # corpus whose post-cutoff prefix set is driver-scale, a bottleneck
+    # on a messy web corpus at 100× where it need not be. Two phases
+    # instead: range-partition on the sort key (partition p holds keys
+    # strictly below partition p+1), number within each partition, and
+    # add the broadcast cumulative partition counts — global order
+    # preserved, no single-partition shuffle anywhere, fully lazy (no
+    # driver-side job at plan-construction time, so benches time the
+    # real work). NULLS LAST keeps the numbering of real prefixes
+    # identical to the null-free sort (the NULL-candidate group sorts
+    # after every real prefix and is dropped below).
+    order = F.col("_uri_prefix").asc_nulls_last()
+    parts = grouped.repartitionByRange(order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # Per-partition row counts → cumulative offsets. Both this branch
+    # and the numbering branch hang off the IDENTICAL range exchange,
+    # which ReuseExchange dedupes at runtime (asserted in test_plans):
+    # the aggregation + range shuffle run once, and both branches see
+    # the same partition layout — the consistency an eager checkpoint
+    # would otherwise have to pin, without the eager job. The cumsum is
+    # a triangular self-join over ≤ spark.sql.shuffle.partitions rows
+    # (bounded by CONFIG, not data) rather than a global window, so no
+    # single-partition WindowExec exists anywhere in discovery.
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = (
+        counts.alias("a")
+        .join(counts.alias("b"), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    w = Window.partitionBy("_pid").orderBy(order)
     return (
-        grouped.select(
+        parts.join(F.broadcast(offsets), on="_pid")
+        .select(
             F.concat(
-                F.lit(metaprefix), F.row_number().over(w).cast("string")
+                F.lit(metaprefix),
+                (F.row_number().over(w) + F.col("_off")).cast("string"),
             ).alias("prefix"),
             F.col("_uri_prefix").alias("uri_prefix"),
             "n_luids",

@@ -10,6 +10,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "REDACT_PATTERNS",
+    "WS_CHARS",
+    "WS_CLASS",
+    "WS_CLASS_RE2",
     "redact_col",
     "doc_fingerprint_col",
     "language_id_col",
@@ -18,6 +21,40 @@ __all__ = [
     "token_count_col",
     "tokens_col",
 ]
+
+#: The canonical token-separator set — Python's ``str.isspace()``
+#: character set, written out as ONE explicit list so every tokenizer in
+#: the engine splits on exactly the same characters:
+#:
+#: - the JVM ``split`` below (Java regex, whose bare ``\s`` is
+#:   ASCII-only — an NBSP or U+2028 would NOT separate tokens there),
+#: - the Arrow kernels (pandas ``.str.split()`` == Python whitespace ==
+#:   exactly this set; equality is asserted in tests so drift between
+#:   the class and the kernels fails loud),
+#: - the DuckDB oracles (RE2, whose ``\s`` is ASCII-only too — they use
+#:   the :data:`WS_CLASS_RE2` rendering of the same set).
+#:
+#: The set covers the separators real web corpora contain: ASCII
+#: whitespace, the C0 information separators, NEL, NBSP, ogham space,
+#: the en/em/thin space block, line/paragraph separators, narrow NBSP,
+#: math space, and ideographic space.
+WS_CHARS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008"
+    "\u2009\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+
+#: Java-regex character class of :data:`WS_CHARS` (literal characters —
+#: deliberately no ``\s``, which is ASCII-only in Java).
+WS_CLASS = "[" + WS_CHARS + "]"
+
+#: RE2 rendering of the same class for DuckDB oracle SQL (hex escapes
+#: pass through DuckDB's single-quoted strings untouched).
+WS_CLASS_RE2 = (
+    "[\\t\\n\\x0b\\x0c\\r\\x1c\\x1d\\x1e\\x1f \\x{0085}\\x{00a0}"
+    "\\x{1680}\\x{2000}-\\x{200a}\\x{2028}\\x{2029}\\x{202f}\\x{205f}"
+    "\\x{3000}]"
+)
 
 #: minimal per-language stopword marker sets for the n-gram/stopword
 #: language-ID heuristic (deliberately tiny: the operator shape is the
@@ -39,9 +76,15 @@ PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
 
 
 def tokens_col(text: "Column | str") -> Column:
-    """Whitespace tokens, lowercased, empties removed."""
+    """Whitespace tokens, lowercased, empties removed.
+
+    Splits on the explicit :data:`WS_CHARS` class — Java's bare ``\\s``
+    is ASCII-only, which diverged from the Arrow kernels' Python
+    (Unicode) tokenization on NBSP/U+2028-style separators real corpora
+    contain. One explicit class keeps the JVM path, the kernels, and
+    the DuckDB oracles byte-for-byte equivalent on ANY input."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.lower(c), WS_CLASS + "+"), lambda t: t != "")
 
 
 def token_count_col(text: "Column | str", *, method: str = "whitespace") -> Column:

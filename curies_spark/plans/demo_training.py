@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from ..operators.dedup import _R, BAND_SIZE, N_PERM
 from ..operators.similarity import hyperplanes
-from ..operators.text import BPE_TOKEN_RE, LANG_MARKERS, PUNCT_CLASS
+from ..operators.text import BPE_TOKEN_RE, LANG_MARKERS, PUNCT_CLASS, WS_CLASS_RE2
 
 __all__ = [
     "DEDUP_DOCS_SQL",
@@ -78,8 +78,12 @@ DEDUP_DOCS_SQL = (
 
 
 def _tokens(text_sql: str = "text") -> str:
+    # WS_CLASS_RE2: the engine's ONE explicit whitespace class (RE2's
+    # bare \s is ASCII-only and would diverge from the Spark tokenizers
+    # on NBSP/U+2028-style separators)
     return (
-        f"list_filter(string_split_regex(lower({text_sql}), '\\s+'), x -> x <> '')"
+        f"list_filter(string_split_regex(lower({text_sql}), "
+        f"'{WS_CLASS_RE2}+'), x -> x <> '')"
     )
 
 

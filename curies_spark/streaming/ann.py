@@ -28,8 +28,6 @@ lives at its own path from batch 0.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
@@ -102,8 +100,12 @@ def start_ann_index_stream(
     max_files_per_trigger: "int | None" = None,
 ) -> StreamingQuery:
     """Start (or resume) the streaming ANN index appender."""
+    from .fsio import fs_exists
+
     params = {"dim": dim, "n_planes": n_planes, "seed": seed}
-    if Path(index_path + "_params").exists():
+    # existence probed through the Hadoop FS API: the index path may be
+    # any Hadoop filesystem URI, not just a local POSIX path
+    if fs_exists(spark, index_path + "_params"):
         # resuming into an existing index: the planes MUST match
         _check_ann_params(spark, index_path, params)
     else:

@@ -42,15 +42,13 @@ permanently lose its signatures).
 
 from __future__ import annotations
 
-import shutil
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..plans.dedup_pipeline import band_keys, estimated_jaccard_col
 from ..plans.dedup_pipeline import stage_documents as _stage
+from .fsio import fs_delete, partition_ids
 
 __all__ = [
     "DOC_SCHEMA",
@@ -92,53 +90,50 @@ def stream_stage_documents(docs: DataFrame, *, k: int = 3) -> DataFrame:
     return _stage(docs, k=k)
 
 
-def _dir_id(part_dir: Path) -> int:
-    return int(part_dir.name.split("=", 1)[1])
+def _store_parts(
+    spark: SparkSession, root: str, before_batch: "int | None"
+) -> "list[str]":
+    """Committed partition dirs forming the state BEFORE ``before_batch``.
 
-
-def _part_id(success_marker: Path) -> int:
-    return _dir_id(success_marker.parent)
-
-
-def _store_parts(store_path: str, before_batch: "int | None") -> "list[str]":
-    """Committed store partitions forming the state BEFORE ``before_batch``.
-
-    ``store/compact=M/`` holds the folded union of all batches < M;
-    ``store/batch=N/`` holds batch N's novel signatures. The newest
-    applicable compact (M ≤ before_batch) replaces every batch dir it
-    covers — stale batch/compact dirs a crashed compaction left behind
-    are simply ignored (and lazily deleted on the next compaction), so
+    ``{root}/compact=M/`` holds the folded union of all batches < M;
+    ``{root}/batch=N/`` holds batch N's rows. The newest applicable
+    compact (M ≤ before_batch) replaces every batch dir it covers —
+    stale batch/compact dirs a crashed compaction left behind are
+    simply ignored (and lazily deleted on the next compaction), so
     every step is idempotent under replay. ``before_batch=None`` reads
-    the full store (for post-hoc analysis like
-    :func:`streamed_survivors`)."""
-    root = Path(store_path)
-    compacts = {
-        _part_id(p): str(p.parent)
-        for p in root.glob("compact=*/_SUCCESS")
-        if before_batch is None or _part_id(p) <= before_batch
-    }
+    everything (for post-hoc analysis like :func:`streamed_survivors`).
+
+    Shared by the signature store AND the pairs table (both are
+    batch-partitioned append-only fact sets with the identical
+    superseded-dir-ignoring read rule). Listing goes through the Hadoop
+    FileSystem API (:mod:`.fsio`), so the state can live wherever the
+    corpus lives — local path, ``file://``, ``hdfs://``, ``s3a://``."""
+    compacts = [
+        n
+        for n in partition_ids(spark, root, "compact")
+        if before_batch is None or n <= before_batch
+    ]
     base = max(compacts) if compacts else 0
-    dirs = [compacts[base]] if compacts else []
+    dirs = [f"{root}/compact={base}"] if compacts else []
     dirs += [
-        str(p.parent)
-        for p in root.glob("batch=*/_SUCCESS")
-        if _part_id(p) >= base
-        and (before_batch is None or _part_id(p) < before_batch)
+        f"{root}/batch={n}"
+        for n in partition_ids(spark, root, "batch")
+        if n >= base and (before_batch is None or n < before_batch)
     ]
     return dirs
 
 
 def _read_store(
-    spark: SparkSession, store_path: str, before_batch: "int | None"
+    spark: SparkSession, root: str, before_batch: "int | None"
 ) -> "DataFrame | None":
-    dirs = _store_parts(store_path, before_batch)
+    dirs = _store_parts(spark, root, before_batch)
     return spark.read.parquet(*dirs) if dirs else None
 
 
 def _compact_store(
-    spark: SparkSession, store_path: str, batch_id: int, compact_every: int
+    spark: SparkSession, root: str, batch_id: int, compact_every: int
 ) -> None:
-    """Fold the store partitions for batches < ``batch_id`` into one
+    """Fold the partitions for batches < ``batch_id`` into one
     ``compact={batch_id}`` directory when enough per-batch dirs have
     accumulated — the read side then lists O(compact_every) dirs
     forever instead of one per historical batch.
@@ -146,21 +141,23 @@ def _compact_store(
     Runs BEFORE the batch's own writes, so a crash anywhere leaves a
     state the replay handles: compact written but olds not yet deleted
     → the olds are ignored (base wins) and deleted next time; crash
-    before the compact write → nothing changed."""
-    parts = _store_parts(store_path, batch_id)
-    n_batch_dirs = sum("batch=" in p for p in parts)
+    before the compact write → nothing changed. Deletion sweeps
+    UNcommitted leftovers too (``committed=False``), so a dir a crashed
+    write half-filled is eventually removed, not just ignored."""
+    parts = _store_parts(spark, root, batch_id)
+    n_batch_dirs = sum("/batch=" in p for p in parts)
     if n_batch_dirs < compact_every:
         return
-    target = Path(store_path) / f"compact={batch_id}"
-    if str(target) in parts:  # replay after a completed compaction
+    target = f"{root}/compact={batch_id}"
+    if target in parts:  # replay after a completed compaction
         return
-    spark.read.parquet(*parts).write.mode("overwrite").parquet(str(target))
+    spark.read.parquet(*parts).write.mode("overwrite").parquet(target)
     # everything the new compact covers is now dead weight; removal is
     # safe because _store_parts already ignores superseded dirs
-    for pattern in ("batch=*", "compact=*"):
-        for p in Path(store_path).glob(pattern):
-            if _dir_id(p) < batch_id:
-                shutil.rmtree(p, ignore_errors=True)
+    for prefix in ("batch", "compact"):
+        for n in partition_ids(spark, root, prefix, committed=False):
+            if n < batch_id:
+                fs_delete(spark, f"{root}/{prefix}={n}")
 
 
 #: novel docs per batch above which the batch side is no longer
@@ -311,23 +308,31 @@ def start_dedup_stream(
     """Start (or resume) the streaming near-dup detector.
 
     Writes under ``out_dir``: ``store/batch=N/`` (the batch's novel
-    signatures, folded into ``store/compact=M/`` every
-    ``compact_every`` batches) and ``pairs/batch=N/`` (the duplicate
-    pairs batch N introduced). Batch-id-scoped overwrite plus the
+    signatures) and ``pairs/batch=N/`` (the duplicate pairs batch N
+    introduced) — BOTH folded into ``compact=M/`` partitions every
+    ``compact_every`` batches, so neither read side's directory listing
+    grows with the batch count on a long-running stream (pairs are
+    append-only facts, so the store's superseded-dir-ignoring read rule
+    applies to them verbatim). Batch-id-scoped overwrite plus the
     strictly-earlier store read keep replays idempotent — a batch that
     crashed after its writes re-reads exactly the store state it saw
-    the first time and rewrites identical output. In a real deployment
-    the store would be a bucketed table on the band-key hash so the
-    batch-vs-store join prunes store buckets too; here the store scan
-    is one map-side pass per batch (banded on the fly, joined against
-    the broadcast batch — no store shuffle, no store×store pairs).
+    the first time and rewrites identical output. All directory
+    management goes through the Hadoop FileSystem API, so ``out_dir``
+    may live on any Hadoop-supported filesystem (local, ``file://``,
+    ``hdfs://``, ``s3a://``), not just a POSIX path. In a real
+    deployment the store would be a bucketed table on the band-key hash
+    so the batch-vs-store join prunes store buckets too; here the store
+    scan is one map-side pass per batch (banded on the fly, joined
+    against the broadcast batch — no store shuffle, no store×store
+    pairs).
     """
-    store_path = str(Path(out_dir) / "store")
-    pairs_path = str(Path(out_dir) / "pairs")
+    store_path = f"{out_dir}/store"
+    pairs_path = f"{out_dir}/pairs"
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if compact_every:
             _compact_store(spark, store_path, batch_id, compact_every)
+            _compact_store(spark, pairs_path, batch_id, compact_every)
         store = _read_store(spark, store_path, batch_id)
         staged = _stage(batch, k=k).localCheckpoint()
         pairs, novel = _pair_batch(
@@ -359,11 +364,9 @@ def start_dedup_stream(
 
 def read_stream_pairs(spark: SparkSession, out_dir: str) -> "DataFrame | None":
     """All duplicate pairs the stream has emitted so far (committed
-    batches only)."""
-    dirs = [
-        str(p.parent) for p in (Path(out_dir) / "pairs").glob("batch=*/_SUCCESS")
-    ]
-    return spark.read.parquet(*dirs) if dirs else None
+    batches only; compacted pairs partitions replace the batch dirs
+    they fold, exactly like the store read)."""
+    return _read_store(spark, f"{out_dir}/pairs", None)
 
 
 def streamed_survivors(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -378,7 +381,7 @@ def streamed_survivors(spark: SparkSession, out_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
 
     pairs = read_stream_pairs(spark, out_dir)
-    store = _read_store(spark, str(Path(out_dir) / "store"), None)
+    store = _read_store(spark, f"{out_dir}/store", None)
     ids = store.select("doc_id") if store is not None else None
     if pairs is not None:
         pair_ids = (

@@ -60,7 +60,6 @@ EXPECTATIONS = {
     "mentions": (2, False, []),
     "dedup_exact": (2, False, []),
     "unique_prefixes": (2, False, []),
-    "discover": (6, False, []),
     # signatures are map-only Arrow kernels (rule 8)
     "minhash_signature": (0, True, ["BatchEvalPython"]),
     "simhash_docs": (0, True, ["BatchEvalPython"]),
@@ -95,6 +94,26 @@ def test_plan_shape(spark, queries, name):
         assert not has_py, f"{name}: unexpected Python stage\n{plan}"
     for sub in forbidden:
         assert sub not in plan, f"{name}: forbidden {sub!r} in plan\n{plan}"
+
+
+def test_discover_plan(spark, queries):
+    """discover's ns-numbering is the two-phase global sort (round 5):
+    no single-partition window anywhere (the window spec must open on
+    the partition id, never directly on the order column), no Python,
+    and the offsets branch reuses the numbering branch's range exchange
+    (ReuseExchange) so the aggregation runs once despite appearing in
+    three static subtrees."""
+    df = queries["discover"](spark, SF_DIR)
+    static = _plan(df)
+    assert "windowspecdefinition(_uri_prefix" not in static, static
+    assert "windowspecdefinition(_pid" in static, static
+    assert not _PY_RE.search(static), static
+    # exchange reuse is an AQE runtime decision: execute (sf0.001,
+    # sub-second) and read the FINAL adaptive plan
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final, final
+    assert "ReusedExchange" in final, final
 
 
 def test_ann_topk_plan(spark, queries):

@@ -406,11 +406,70 @@ def test_stream_dedup_compaction_bounds_store_dirs(spark, tmp_path):
     assert any(d.startswith("compact=") for d in store_dirs), store_dirs
     assert sum(d.startswith("batch=") for d in store_dirs) < 6, store_dirs
 
-    pairs = spark.read.parquet(*glob.glob(f"{out}/pairs/batch=*"))
-    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the pairs table compacts on the same cadence (round 5): its
+    # listing is bounded too, and the folded read loses nothing
+    from curies_spark.streaming.dedup import read_stream_pairs
+
+    pairs_dirs = {
+        Path(p).name for p in glob.glob(f"{out}/pairs/*") if "=" in p
+    }
+    assert any(d.startswith("compact=") for d in pairs_dirs), pairs_dirs
+    assert sum(d.startswith("batch=") for d in pairs_dirs) < 6, pairs_dirs
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in read_stream_pairs(spark, out).collect()
+    }
     assert (0, 3) in got and (0, 4) in got
     surv = {r["doc_id"] for r in streamed_survivors(spark, out).collect()}
     assert surv == {0, 1, 2, 5}
+
+
+def test_stream_dedup_over_hadoop_fs_uri(spark, tmp_path):
+    """The store/pairs directory management goes through the Hadoop
+    FileSystem API: the whole stream must run with ``out_dir`` given as
+    a ``file://`` URI (the scheme-resolution path every remote
+    filesystem — hdfs://, s3a:// — takes), including compaction,
+    superseded-dir deletion, and survivor reads."""
+    import glob
+    from pathlib import Path
+
+    from pyspark.sql import Row
+
+    from curies_spark.streaming import start_dedup_stream, streamed_survivors
+    from curies_spark.streaming.dedup import read_stream_pairs
+
+    src = str(tmp_path / "udocs")
+    out_local = tmp_path / "uout"
+    out = f"file://{out_local}"
+    ckpt = str(tmp_path / "uckpt")
+    base = " ".join(f"w{i}" for i in range(30))
+    texts = {
+        0: base,
+        1: "unrelated number one",
+        2: base,                       # exact dup of 0
+        3: base.replace("w3", "ed"),   # near-dup of 0
+        4: "unrelated number two",
+    }
+    for i in range(5):
+        spark.createDataFrame(
+            [Row(doc_id=i, text=texts[i])]
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = start_dedup_stream(spark, src, out, ckpt, compact_every=2)
+        q.awaitTermination(120)
+
+    # compaction really managed directories behind the URI
+    store_dirs = {
+        Path(p).name for p in glob.glob(f"{out_local}/store/*") if "=" in p
+    }
+    assert any(d.startswith("compact=") for d in store_dirs), store_dirs
+
+    got = {
+        (r["id_a"], r["id_b"]) for r in read_stream_pairs(spark, out).collect()
+    }
+    assert (0, 2) in got and (0, 3) in got
+    surv = {r["doc_id"] for r in streamed_survivors(spark, out).collect()}
+    assert surv == {0, 1, 4}
 
 
 def test_streamed_survivors_match_batch_pipeline(spark, tmp_path):

@@ -325,6 +325,73 @@ def test_connected_components_long_chain_converges(spark):
     assert len(rows) == n + 1
 
 
+def test_connected_components_star_engine_matches_label(spark):
+    """large-star/small-star must produce the identical (node, component)
+    map as min-label propagation on mixed topologies: chains, a
+    triangle, an isolated pair, self loops, reversed orientation."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+         (7, 30), (30, 7), (40, 40), (50, 41), (41, 33)],
+        ["id_a", "id_b"],
+    )
+    label = {
+        (r["node"], r["component"])
+        for r in D.connected_components(pairs, algorithm="label").collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in D.connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == label
+    assert (33, 33) in star and (50, 33) in star  # reversed-order chain
+    assert (40, 40) in star                       # self-loop node kept
+
+
+def test_connected_components_star_random_differential(spark):
+    """Randomized component-partition equivalence: star ≡ label on a
+    random graph with many small components and one larger one."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    label = {
+        (r["node"], r["component"])
+        for r in D.connected_components(pairs, algorithm="label").collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in D.connected_components(pairs, algorithm="star").collect()
+    }
+    assert star == label
+
+
+def test_connected_components_auto_switches_on_deep_chain(spark):
+    """A 10^4-diameter chain — the adversarial templated-document shape —
+    must converge via the auto star fallback in logarithmic rounds
+    instead of hanging for diameter-many label rounds; forcing
+    algorithm='label' at a low max_iter still fails loud."""
+    n = 10_000
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    ).coalesce(8)
+    # max_iter=20 bounds TOTAL star rounds: convergence within it IS the
+    # <20-round guarantee (label propagation alone would need 10^4)
+    rows = D.connected_components(pairs, max_iter=20, switch_after=2).collect()
+    assert len(rows) == n + 1
+    assert {r["component"] for r in rows} == {0}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(
+            pairs, algorithm="label", max_iter=5
+        ).collect()
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        D.connected_components(pairs, algorithm="bogus")
+
+
 def test_index_incremental_append(spark, tmp_path):
     """Both persisted indexes accept increments without a rebuild: new
     vectors land in the same buckets/cells the build pass would give
@@ -524,6 +591,97 @@ def test_minhash_batch_kernel_matches_exploded(spark):
     assert set(batch) == set(exploded) == set(range(len(texts)))
     for i in batch:
         assert batch[i] == exploded[i], (i, texts[i])
+
+
+def test_ws_class_matches_python_whitespace():
+    """The explicit WS_CHARS class must equal Python's str.isspace()
+    set exactly — the Arrow kernels tokenize with pandas
+    ``.str.split()`` (Python whitespace), so any drift between the
+    class and the interpreter would silently re-open the
+    kernel-vs-JVM signature divergence this class closed."""
+    from curies_spark.operators.text import WS_CHARS
+
+    expected = {chr(c) for c in range(0x110000) if chr(c).isspace()}
+    assert set(WS_CHARS) == expected
+    assert len(WS_CHARS) == len(set(WS_CHARS))
+
+
+#: separators that diverge between ASCII \s and Unicode whitespace —
+#: NBSP, NEL, line/paragraph separators, narrow NBSP, ideographic
+#: space, C0 information separator
+UNICODE_SEPS = ["\xa0", "\x85", "\u2028", "\u2009", "\u205f", "\u3000", "\x1c"]
+
+
+def test_minhash_unicode_separator_differential(spark):
+    """Batch kernel ≡ exploded JVM form on non-ASCII separators — the
+    round-4 qualification ('agrees on ASCII input') is gone: both sides
+    split on the ONE explicit WS_CHARS class."""
+    texts = [f"alpha{s}beta{s}gamma{s}delta" for s in UNICODE_SEPS]
+    texts += [
+        "alpha\xa0beta gamma delta",        # mixed ASCII + unicode
+        "\u3000\u2028lead and trail\u2009",  # leading/trailing runs
+        "nbsp\xa0\xa0double",                   # separator runs
+        "single\xa0pair",                       # < k tokens after split
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    batch = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(D.N_PERM))
+             for r in D.minhash_signature(df).collect()}
+    exploded = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(D.N_PERM))
+                for r in D.minhash_signature_exploded(df).collect()}
+    assert batch == exploded
+    # and the separators genuinely separate: the all-NBSP doc has 4
+    # tokens, i.e. 2 shingles at k=3 — not one giant token
+    from curies_spark.operators.text import tokens_col
+
+    n = df.filter(F.col("doc_id") == 0).select(
+        F.size(tokens_col("text")).alias("n")
+    ).collect()[0]["n"]
+    assert n == 4
+
+
+def test_simhash_unicode_separator_differential(spark):
+    """Vectorized SimHash ≡ per-row reference on non-ASCII separators,
+    and ≡ the JVM tokenizer's view of the token stream."""
+    texts = [f"one{s}two{s}three" for s in UNICODE_SEPS] + [
+        "mixed\xa0and ascii separators"
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    got = {r["i"]: r["s"] for r in df.select("i", D.simhash_col("t").alias("s")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == D._simhash_reference_one(t), (i, t)
+    # all-unicode-separator docs tokenize identically to ASCII spaces
+    assert got[0] == D._simhash_reference_one("one two three")
+
+
+def test_oracle_tokenizer_matches_spark_on_unicode(spark):
+    """The DuckDB oracle's RE2 whitespace class must split exactly like
+    the Spark tokenizer on non-ASCII separators (the oracles previously
+    used RE2's ASCII-only \\s)."""
+    import duckdb
+
+    from curies_spark.operators.text import tokens_col
+    from curies_spark.plans.demo_training import _tokens
+
+    texts = [f"Alpha{s}BETA{s}gamma" for s in UNICODE_SEPS] + [
+        " plain ascii only ", "\xa0", ""
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    spark_toks = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokens_col("text").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    duck_toks = {
+        i: toks
+        for i, toks in con.execute(
+            f"SELECT i, {_tokens()} FROM t"
+        ).fetchall()
+    }
+    assert spark_toks == duck_toks
 
 
 def test_minhash_batch_kernel_random_corpus(spark):

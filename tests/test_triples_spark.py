@@ -199,6 +199,29 @@ def test_distributed_discovery(spark):
     }
 
 
+def test_discovery_numbering_is_global_across_partitions(spark):
+    """The two-phase ns-numbering (range partition → per-partition
+    row_number + broadcast offsets) must reproduce the reference's
+    GLOBAL lexicographic numbering when the surviving prefix set spans
+    many partitions — the regime the old single-partition window
+    handled by not scaling."""
+    from curies_spark.operators.discovery import discover_records_df
+
+    uris = spark.createDataFrame(
+        [
+            (f"http://site{i:03d}.example.org/page/{j}",)
+            for i in range(40)
+            for j in range(3)
+        ],
+        ["uri"],
+    ).repartition(8)
+    out = discover_records_df(uris, "uri", cutoff=2).collect()
+    assert len(out) == 40
+    by_prefix = {r["prefix"]: r["uri_prefix"] for r in out}
+    numbered = [by_prefix[f"ns{i}"] for i in range(1, 41)]
+    assert numbered == sorted(numbered)  # ns-i follows lexicographic order
+
+
 def test_df_index_ops(spark):
     """prefix/CURIE → row-id indexes (reference dataframe.py:228-301)."""
     from curies_spark.operators.triples import get_df_curies_index, get_df_prefixes_index

@@ -125,10 +125,10 @@ def main() -> None:
     q3.awaitTermination(600)
     dedup_wall = time.perf_counter() - t0
     dedup_batches = len(q3.recentProgress)
-    import glob as _glob
+    from curies_spark.streaming.dedup import read_stream_pairs
 
-    pair_dirs = _glob.glob(f"{base}/dedup_out/pairs/batch=*")
-    n_pairs = spark.read.parquet(*pair_dirs).count() if pair_dirs else 0
+    pairs_df = read_stream_pairs(spark, f"{base}/dedup_out")
+    n_pairs = pairs_df.count() if pairs_df is not None else 0
 
     spark.stop()
     print(

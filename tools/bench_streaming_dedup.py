@@ -86,7 +86,9 @@ def main() -> None:
     ]
     import glob
 
-    pairs = spark.read.parquet(*glob.glob(f"{out}/pairs/batch=*"))
+    from curies_spark.streaming.dedup import read_stream_pairs
+
+    pairs = read_stream_pairs(spark, out)
     n_pairs = pairs.count()
     n_survivors = streamed_survivors(spark, out).count()
     store_dirs = sorted(
