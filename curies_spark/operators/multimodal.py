@@ -39,6 +39,7 @@ __all__ = [
     "extract_features",
     "frame_sample",
     "media_metadata",
+    "pil_image_decode",
 ]
 
 #: The canonical multimodal row: opaque payload + typed metadata.
@@ -79,6 +80,32 @@ def deterministic_fake_decode(payload: bytes, *, dim: int = 8) -> "list[float]":
         return None
     digest = hashlib.sha256(payload).digest()
     return [digest[i] / 255.0 for i in range(dim)]
+
+
+def pil_image_decode(payload: bytes, *, size: int = 4) -> "list[float] | None":
+    """A REAL image decoder for the pluggable ``decode=`` slot: PIL
+    decode → grayscale → ``size×size`` resize → [0,1] pixel vector.
+
+    PIL is imported lazily (the same pattern as the fastapi/sqlalchemy
+    glue): where the library is absent this raises ImportError with the
+    install hint, and the PIL-backed tests auto-skip; where it exists
+    the full Spark plumbing runs against genuine image bytes. This is
+    the production swap-in the stub documents — no other change is
+    needed."""
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - env dependent
+        raise ImportError(
+            "pil_image_decode requires Pillow (pip install pillow); in "
+            "environments without it, use deterministic_fake_decode or "
+            "pass your own decode callable"
+        ) from exc
+    import io
+
+    if payload is None:
+        return None
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((size, size))
+    return [p / 255.0 for p in img.getdata()]
 
 
 def media_metadata(df: DataFrame) -> DataFrame:

@@ -27,6 +27,7 @@ __all__ = [
     "append_to_ivf_index",
     "build_ann_index",
     "build_ivf_index",
+    "cosine_codes_vs_query_col",
     "cosine_pair_col",
     "cosine_similarity_col",
     "cosine_topk",
@@ -37,6 +38,7 @@ __all__ = [
     "lsh_signature_col",
     "lsh_topk",
     "probe_ann_index",
+    "quantize_vector_col",
     "query_ann_index",
     "query_ivf_index",
     "query_signature",
@@ -207,6 +209,122 @@ def cosine_pair_col(
     return _cos(vec_a, vec_b)
 
 
+def quantize_vector_col(vec: Column) -> Column:
+    """Int8 scalar quantization with per-vector scale →
+    ``struct<code: binary, scale: float>``.
+
+    ``code[i] = round(v[i] / scale)`` with ``scale = max|v| / 127`` —
+    the standard symmetric per-vector scheme: 1 byte per element
+    instead of 4, reconstruction ``v ≈ scale · code``. The code buffer
+    is the row's int8 elements packed as ``dim`` bytes (a
+    FixedSizeBinary built zero-copy from the batch matrix — no per-row
+    Python). A zero vector stores scale 0 and an all-zero code.
+
+    Probe-side ranking never needs the scale: cosine is
+    scale-invariant, so ``(code·q̂)/‖code‖`` IS the quantized cosine
+    (:func:`cosine_codes_vs_query_col`). The scale rides along for
+    magnitude-dependent consumers (dot-product scoring,
+    reconstruction)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        BinaryType,
+        FloatType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    @F.arrow_udf(ST([SF("code", BinaryType()), SF("scale", FloatType())]))
+    def _quant(arr):
+        import pyarrow as pa
+
+        valid, (vecs,) = _flat_valid(arr)
+        n, dim = vecs.shape if vecs.size else (vecs.shape[0], 0)
+        absmax = np.abs(vecs).max(axis=1) if n else np.empty(0)
+        scale = absmax / 127.0
+        safe = np.where(scale > 0, scale, 1.0)
+        codes = np.clip(
+            np.rint(vecs / safe[:, None]), -127, 127
+        ).astype(np.int8)
+        # zero-copy fixed-size-binary over the row-major code matrix,
+        # then cast to the variable-width binary Spark expects
+        code_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(dim), n, [None, pa.py_buffer(codes.tobytes())]
+        ).cast(pa.binary())
+        scale_arr = pa.array(scale.astype(np.float32), type=pa.float32())
+        dense = pa.StructArray.from_arrays([code_arr, scale_arr], ["code", "scale"])
+        if valid is None:
+            return dense
+        # scatter back to original positions, nulling null inputs (an
+        # all-null batch has nothing to take from — emit pure nulls)
+        if n == 0:
+            return pa.array([None] * len(valid), type=dense.type)
+        idx = np.cumsum(valid) - 1
+        taken = dense.take(pa.array(np.where(valid, idx, 0), type=pa.int64()))
+        mask = pa.array(~valid)
+        return pa.StructArray.from_arrays(
+            [taken.field(0), taken.field(1)], ["code", "scale"], mask=mask
+        )
+
+    return _quant(vec)
+
+
+def cosine_codes_vs_query_col(code: Column, query: "list[float]") -> Column:
+    """Quantized cosine against a constant query, straight from the
+    int8 code bytes — ONE (batch × dim) @ dim BLAS product per Arrow
+    batch, identical kernel shape to :func:`cosine_vs_query_col` but
+    over a 4×-smaller column. The per-vector scale cancels out of
+    cosine, so ranking needs ONLY the codes: probe scans never touch
+    the float vectors (nor even the scales)."""
+    import numpy as np
+
+    q_arr = np.asarray(_unit([float(x) for x in query]), dtype=np.float64)
+
+    from pyspark.sql.types import DoubleType
+
+    @F.arrow_udf(DoubleType())
+    def _cos(arr):
+        import pyarrow as pa
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = None
+        dense = arr
+        if arr.null_count:
+            valid = arr.is_valid().to_numpy(zero_copy_only=False)
+            dense = arr.drop_null()
+        n = len(dense)
+        if n:
+            # zero-copy over the binary array's value buffer: with one
+            # shared width the rows are contiguous int8 — no per-row
+            # Python materialization
+            offs = np.frombuffer(dense.buffers()[1], dtype=np.int32)[
+                dense.offset : dense.offset + n + 1
+            ]
+            widths = np.diff(offs)
+            if n and (widths != widths[0]).any():
+                raise ValueError(
+                    "ragged code lengths in batch — all codes must share "
+                    "one dimension"
+                )
+            data = np.frombuffer(dense.buffers()[2], dtype=np.int8)[
+                offs[0] : offs[-1]
+            ]
+            mat = data.reshape(n, -1).astype(np.float64)
+            if mat.shape[1] != q_arr.shape[0]:
+                raise ValueError(
+                    f"code dim {mat.shape[1]} != query dim {q_arr.shape[0]}"
+                )
+            dots = mat @ q_arr
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            vals = dots / np.where(norms > 0, norms, 1.0)
+        else:
+            vals = np.empty(0)
+        return _scatter(vals, valid, len(arr))
+
+    return _cos(code)
+
+
 def _cosine_similarity_col_hof(vec: Column, query: "list[float]") -> Column:
     """The interpreted higher-order-function form — kept ONLY as the
     differential twin for :func:`cosine_vs_query_col` tests; never use
@@ -360,13 +478,19 @@ def query_signature(
 
 
 def _probe_set(q_sig: int, n_planes: int, multiprobe_bits: int) -> "set[int]":
+    """The query bucket plus every bucket within ``multiprobe_bits``
+    hyperplane-sign flips — the recall dial: each extra flip radius
+    multiplies probed buckets by ~n_planes/radius while probe cost
+    stays a partition-pruned read."""
+    from itertools import combinations
+
     probes = {q_sig}
-    if multiprobe_bits >= 1:
-        probes.update(q_sig ^ (1 << i) for i in range(n_planes))
-    if multiprobe_bits >= 2:
-        for i in range(n_planes):
-            for j in range(i + 1, n_planes):
-                probes.add(q_sig ^ (1 << i) ^ (1 << j))
+    for radius in range(1, multiprobe_bits + 1):
+        for bits in combinations(range(n_planes), radius):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.add(q_sig ^ flip)
     return probes
 
 
@@ -380,18 +504,40 @@ def _write_signed(
     vec_col: str,
     id_col: str,
     mode: str,
+    quantize: bool = False,
 ) -> None:
     """Shared sign-and-write for build/append — ONE definition of the
-    signing layout so the append-equals-rebuild invariant can't drift."""
+    signing layout so the append-equals-rebuild invariant can't drift.
+
+    ``quantize=True`` writes the two-table layout instead of the flat
+    one: ``{index}/codes/sig=S`` carries ``(id, code, scale)`` — the
+    int8 per-vector-scale quantization, ~4× fewer bytes per probed
+    bucket — and ``{index}/vectors/sig=S`` the float vectors for the
+    optional exact rerank. One signing pass feeds both writes."""
     planes = hyperplanes(dim, n_planes, seed=seed)
     signed = df.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_signature_col(F.col(vec_col), planes).alias("sig"),
     )
-    # one shuffle by bucket so each partition directory is written by a
-    # single task (avoids 2^n_planes tiny files per input task)
-    signed.repartition("sig").write.mode(mode).partitionBy("sig").parquet(index_path)
+    if not quantize:
+        # one shuffle by bucket so each partition directory is written
+        # by a single task (avoids 2^n_planes tiny files per input task)
+        signed.repartition("sig").write.mode(mode).partitionBy("sig").parquet(
+            index_path
+        )
+        return
+    staged = (
+        signed.repartition("sig")
+        .withColumn("_q", quantize_vector_col(F.col(vec_col)))
+        .localCheckpoint()  # one signing+quantization pass for both writes
+    )
+    staged.select(
+        id_col, F.col("_q.code").alias("code"), F.col("_q.scale").alias("scale"), "sig"
+    ).write.mode(mode).partitionBy("sig").parquet(f"{index_path}/codes")
+    staged.select(id_col, vec_col, "sig").write.mode(mode).partitionBy(
+        "sig"
+    ).parquet(f"{index_path}/vectors")
 
 
 def _ann_params_path(index_path: str) -> str:
@@ -416,6 +562,9 @@ def _check_ann_params(spark, index_path: str, params: "dict") -> None:
         .items()
         if k in params
     }
+    # indexes built before the quantized layout existed are float-only
+    if "quantize" in params:
+        stored.setdefault("quantize", 0)
     if stored != params:
         raise ValueError(
             f"ANN index at {index_path!r} was built with {stored}, "
@@ -433,6 +582,7 @@ def build_ann_index(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: bool = False,
 ) -> None:
     """Materialize a persisted ANN index: one pass computes every row's
     hyperplane signature, written ``partitionBy("sig")`` so each bucket
@@ -446,7 +596,14 @@ def build_ann_index(
     ``sig = K`` filter is a *partition* filter (file pruning at the
     source, no data read from other buckets — at 100 TB that is the
     difference between touching ~2^-bits of the table and all of it).
-    """
+
+    ``quantize=True`` additionally stores int8-quantized codes beside
+    the float vectors (:func:`_write_signed`): probes then rank from
+    the ~4×-smaller codes table and only the optional exact rerank
+    touches floats — probe bytes are the index's scale currency. The
+    choice is recorded in ``_params`` so appends/probes against a
+    mismatched layout fail loud instead of silently reading the wrong
+    table."""
     _write_signed(
         df,
         index_path,
@@ -456,9 +613,17 @@ def build_ann_index(
         vec_col=vec_col,
         id_col=id_col,
         mode="overwrite",
+        quantize=quantize,
     )
     _write_ann_params(
-        df.sparkSession, index_path, {"dim": dim, "n_planes": n_planes, "seed": seed}
+        df.sparkSession,
+        index_path,
+        {
+            "dim": dim,
+            "n_planes": n_planes,
+            "seed": seed,
+            "quantize": int(quantize),
+        },
     )
 
 
@@ -471,6 +636,7 @@ def append_to_ann_index(
     seed: int = 7,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    quantize: bool = False,
 ) -> None:
     """Incrementally extend a persisted ANN index: sign the new vectors
     with the SAME hyperplanes (verified against the index's ``_params``
@@ -478,9 +644,20 @@ def append_to_ann_index(
     this is the difference between a daily full rebuild and writing only
     the day's increment — dynamic partition append touches only the
     buckets the new vectors land in.
-    """
+
+    ``quantize`` must match the index's build layout (it is verified
+    against ``_params`` alongside the hyperplane parameters): appending
+    float-only rows into a quantized index would leave them invisible
+    to code-ranked probes."""
     _check_ann_params(
-        df.sparkSession, index_path, {"dim": dim, "n_planes": n_planes, "seed": seed}
+        df.sparkSession,
+        index_path,
+        {
+            "dim": dim,
+            "n_planes": n_planes,
+            "seed": seed,
+            "quantize": int(quantize),
+        },
     )
     _write_signed(
         df,
@@ -491,12 +668,15 @@ def append_to_ann_index(
         vec_col=vec_col,
         id_col=id_col,
         mode="append",
+        quantize=quantize,
     )
 
 
 def _read_ann_params(spark, index_path: str) -> "dict[str, int]":
     row = spark.read.json(_ann_params_path(index_path)).collect()[0].asDict()
-    return {k: int(row[k]) for k in ("dim", "n_planes", "seed")}
+    out = {k: int(row[k]) for k in ("dim", "n_planes", "seed")}
+    out["quantize"] = int(row.get("quantize") or 0)
+    return out
 
 
 def probe_ann_index(
@@ -507,6 +687,7 @@ def probe_ann_index(
     n_planes: "int | None" = None,
     multiprobe_bits: int = 1,
     seed: "int | None" = None,
+    table: str = "codes",
 ) -> DataFrame:
     """Candidate rows for a query: read only the buckets within
     ``multiprobe_bits`` bit flips of the query's signature. The
@@ -520,6 +701,11 @@ def probe_ann_index(
     wrong hyperplanes would silently select the wrong buckets and
     return arbitrarily poor candidates (the same unreachability hazard
     :func:`append_to_ann_index` guards against on the write side).
+
+    On a quantized index, ``table`` selects which side the probe reads:
+    ``"codes"`` (default — the 4×-smaller int8 table the ranking scan
+    should touch) or ``"vectors"`` (the float side, for the exact
+    rerank). Ignored on a float-only index.
     """
     stored = _read_ann_params(spark, index_path)
     if len(query) != stored["dim"]:
@@ -536,7 +722,8 @@ def probe_ann_index(
     n_planes, seed = stored["n_planes"], stored["seed"]
     planes = hyperplanes(len(query), n_planes, seed=seed)
     probes = _probe_set(query_signature(query, planes), n_planes, multiprobe_bits)
-    idx = spark.read.parquet(index_path)
+    root = f"{index_path}/{table}" if stored["quantize"] else index_path
+    idx = spark.read.parquet(root)
     return idx.filter(F.col("sig").isin(sorted(int(p) for p in probes)))
 
 
@@ -551,19 +738,61 @@ def query_ann_index(
     seed: "int | None" = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank: "int | None" = None,
 ) -> DataFrame:
     """Top-k over the probed buckets only — per-query cost is
     O(N / 2^n_planes · |probes|) rows read instead of O(N).
-    ``n_planes``/``seed`` default to the index's build parameters."""
-    candidates = probe_ann_index(
+    ``n_planes``/``seed`` default to the index's build parameters.
+
+    On a quantized index the ranking scan reads ONLY the int8 codes
+    table (~4× fewer bytes per probed bucket; cosine is scale-invariant
+    so the codes suffice), then the top ``rerank`` candidates — default
+    ``max(4k, 32)``, a driver-scale shortlist — are re-scored exactly
+    against the float side restricted to the probed partitions plus an
+    id pushdown. ``rerank=0`` skips the float fetch entirely and
+    returns the code-ranked top-k (the minimum-bytes path; quantized
+    cosine error is ~1/127 per element, so ranking flips only
+    near-ties)."""
+    stored = _read_ann_params(spark, index_path)
+    if not stored["quantize"]:
+        candidates = probe_ann_index(
+            spark,
+            index_path,
+            query,
+            n_planes=n_planes,
+            multiprobe_bits=multiprobe_bits,
+            seed=seed,
+        )
+        return cosine_topk(candidates, query, k=k, vec_col=vec_col, id_col=id_col)
+
+    codes = probe_ann_index(
         spark,
         index_path,
         query,
         n_planes=n_planes,
         multiprobe_bits=multiprobe_bits,
         seed=seed,
+        table="codes",
     )
-    return cosine_topk(candidates, query, k=k, vec_col=vec_col, id_col=id_col)
+    scored = codes.select(
+        F.col(id_col),
+        cosine_codes_vs_query_col(F.col("code"), query).alias("cosine"),
+    ).orderBy(F.desc("cosine"), F.col(id_col))
+    if rerank is None:
+        rerank = max(4 * k, 32)
+    if rerank <= 0:
+        return scored.limit(k)
+    shortlist = [r[id_col] for r in scored.limit(rerank).collect()]
+    vecs = probe_ann_index(
+        spark,
+        index_path,
+        query,
+        n_planes=n_planes,
+        multiprobe_bits=multiprobe_bits,
+        seed=seed,
+        table="vectors",
+    ).filter(F.col(id_col).isin(shortlist))
+    return cosine_topk(vecs, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
 def _ivf_assign(
@@ -628,6 +857,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     write_vectors: bool = True,
+    quantize: bool = False,
 ) -> None:
     """Materialize an IVF (inverted-file) ANN index: deterministic
     Lloyd's k-means over the corpus, vectors written
@@ -667,6 +897,12 @@ def build_ivf_index(
     """
     if not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
+    if quantize and not write_vectors:
+        raise ValueError(
+            "quantize=True requires write_vectors=True (a centroid-only "
+            "seed index has no payload to quantize; streamed quantized "
+            "IVF appends are not supported)"
+        )
     tagged = df.select(F.col(id_col), F.col(vec_col))
     if train_fraction < 1.0:
         # deterministic slice: keep ids whose xxhash64 lands below the
@@ -703,9 +939,35 @@ def build_ivf_index(
 
     if write_vectors:
         final = _ivf_assign(tagged, centroids, contiguous, vec_col, id_col)
-        final.repartition("cid").write.mode("overwrite").partitionBy("cid").parquet(
-            index_path
-        )
+        if quantize:
+            # two-table layout, same rationale as the quantized ANN
+            # index: probes rank from the ~4×-smaller codes/cid=C side,
+            # exact rerank reads vectors/cid=C
+            staged = (
+                final.repartition("cid")
+                .withColumn("_q", quantize_vector_col(F.col(vec_col)))
+                .localCheckpoint()
+            )
+            staged.select(
+                id_col,
+                F.col("_q.code").alias("code"),
+                F.col("_q.scale").alias("scale"),
+                "cid",
+            ).write.mode("overwrite").partitionBy("cid").parquet(
+                f"{index_path}/codes"
+            )
+            staged.select(id_col, vec_col, "cid").write.mode(
+                "overwrite"
+            ).partitionBy("cid").parquet(f"{index_path}/vectors")
+        else:
+            final.repartition("cid").write.mode("overwrite").partitionBy(
+                "cid"
+            ).parquet(index_path)
+    # the layout rides along so probes/appends against the wrong one
+    # fail loud (legacy indexes have no params file → float layout)
+    df.sparkSession.createDataFrame(
+        [{"quantize": int(quantize), "dim": dim}]
+    ).coalesce(1).write.mode("overwrite").json(index_path + "_params")
     # centroids ride along as a driver-scale side table for the prober
     df.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -726,6 +988,18 @@ def load_ivf_centroids(
     return [cid for cid, _ in rows], [c for _, c in rows]
 
 
+def _ivf_quantized(spark, index_path: str) -> bool:
+    """Whether an IVF index uses the quantized two-table layout (legacy
+    indexes predate the ``_params`` side table → float layout)."""
+    from ..streaming.fsio import fs_exists
+
+    path = index_path + "_params"
+    if not fs_exists(spark, path):
+        return False
+    row = spark.read.json(path).collect()[0].asDict()
+    return bool(int(row.get("quantize") or 0))
+
+
 def append_to_ivf_index(
     df: DataFrame,
     index_path: str,
@@ -738,12 +1012,31 @@ def append_to_ivf_index(
     re-training, real cell ids preserved even if non-contiguous) and
     append them to their cell partitions. Standard IVF maintenance:
     cells drift slowly, so periodic re-trains are a separate, rarer
-    operation than daily appends.
+    operation than daily appends. The index's own layout (float vs
+    quantized, from ``_params``) decides what the append writes — both
+    sides on a quantized index, so appended rows stay visible to
+    code-ranked probes.
     """
     cids, cents = load_ivf_centroids(df.sparkSession, index_path)
     # a dim mismatch fails loud inside _ivf_assign's kernel (per-batch
     # shape check) — no driver-side scan needed here
     assigned = _ivf_assign(df, cents, cids, vec_col, id_col)
+    if _ivf_quantized(df.sparkSession, index_path):
+        staged = (
+            assigned.repartition("cid")
+            .withColumn("_q", quantize_vector_col(F.col(vec_col)))
+            .localCheckpoint()
+        )
+        staged.select(
+            id_col,
+            F.col("_q.code").alias("code"),
+            F.col("_q.scale").alias("scale"),
+            "cid",
+        ).write.mode("append").partitionBy("cid").parquet(f"{index_path}/codes")
+        staged.select(id_col, vec_col, "cid").write.mode("append").partitionBy(
+            "cid"
+        ).parquet(f"{index_path}/vectors")
+        return
     assigned.repartition("cid").write.mode("append").partitionBy("cid").parquet(
         index_path
     )
@@ -758,13 +1051,16 @@ def query_ivf_index(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rerank: "int | None" = None,
 ) -> DataFrame:
     """Top-k over the ``nprobe`` nearest IVF cells only.
 
     Cell selection is driver-side (centroids are k rows); the ``cid``
     filter lands on the partition column, so every other cell's files
     are pruned at planning time — per-query read cost is
-    O(nprobe / k) of the corpus.
+    O(nprobe / k) of the corpus. On a quantized index the ranking scan
+    reads only the int8 codes side (``rerank`` as in
+    :func:`query_ann_index`).
     """
     q = [float(x) for x in query]
     cents = spark.read.parquet(index_path + "_centroids").collect()
@@ -780,10 +1076,29 @@ def query_ivf_index(
         (sum((a - b) ** 2 for a, b in zip(q, r["centroid"])), r["cid"]) for r in cents
     )
     probe_cids = [cid for _, cid in scored[:nprobe]]
-    candidates = spark.read.parquet(index_path).filter(
+    if not _ivf_quantized(spark, index_path):
+        candidates = spark.read.parquet(index_path).filter(
+            F.col("cid").isin(probe_cids)
+        )
+        return cosine_topk(candidates, query, k=k, vec_col=vec_col, id_col=id_col)
+    # quantized layout: rank from the int8 codes of the probed cells,
+    # then exact-rerank a driver-scale shortlist against the float side
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
         F.col("cid").isin(probe_cids)
     )
-    return cosine_topk(candidates, query, k=k, vec_col=vec_col, id_col=id_col)
+    approx = codes.select(
+        F.col(id_col),
+        cosine_codes_vs_query_col(F.col("code"), query).alias("cosine"),
+    ).orderBy(F.desc("cosine"), F.col(id_col))
+    if rerank is None:
+        rerank = max(4 * k, 32)
+    if rerank <= 0:
+        return approx.limit(k)
+    shortlist = [r[id_col] for r in approx.limit(rerank).collect()]
+    vecs = spark.read.parquet(f"{index_path}/vectors").filter(
+        F.col("cid").isin(probe_cids) & F.col(id_col).isin(shortlist)
+    )
+    return cosine_topk(vecs, query, k=k, vec_col=vec_col, id_col=id_col)
 
 
 def embedding_near_dup_pairs(

@@ -9,6 +9,7 @@ from .ann import (
 from .dedup import (
     DOC_SCHEMA,
     read_document_stream,
+    read_stream_components,
     read_stream_pairs,
     start_dedup_stream,
     stream_stage_documents,
@@ -30,6 +31,7 @@ __all__ = [
     "read_document_stream",
     "read_embedding_stream",
     "read_repo_stream",
+    "read_stream_components",
     "read_stream_pairs",
     "start_ann_index_stream",
     "start_ivf_index_stream",

@@ -102,7 +102,10 @@ def start_ann_index_stream(
     """Start (or resume) the streaming ANN index appender."""
     from .fsio import fs_exists
 
-    params = {"dim": dim, "n_planes": n_planes, "seed": seed}
+    # quantize pinned to 0: the streaming appender writes the flat
+    # float layout, so resuming it into a quantized (two-table) index
+    # must fail loud instead of leaving rows invisible to code probes
+    params = {"dim": dim, "n_planes": n_planes, "seed": seed, "quantize": 0}
     # existence probed through the Hadoop FS API: the index path may be
     # any Hadoop filesystem URI, not just a local POSIX path
     if fs_exists(spark, index_path + "_params"):

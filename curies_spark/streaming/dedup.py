@@ -53,6 +53,7 @@ from .fsio import fs_delete, partition_ids
 __all__ = [
     "DOC_SCHEMA",
     "read_document_stream",
+    "read_stream_components",
     "read_stream_pairs",
     "start_dedup_stream",
     "stream_stage_documents",
@@ -131,7 +132,11 @@ def _read_store(
 
 
 def _compact_store(
-    spark: SparkSession, root: str, batch_id: int, compact_every: int
+    spark: SparkSession,
+    root: str,
+    batch_id: int,
+    compact_every: int,
+    fold=None,
 ) -> None:
     """Fold the partitions for batches < ``batch_id`` into one
     ``compact={batch_id}`` directory when enough per-batch dirs have
@@ -143,7 +148,12 @@ def _compact_store(
     → the olds are ignored (base wins) and deleted next time; crash
     before the compact write → nothing changed. Deletion sweeps
     UNcommitted leftovers too (``committed=False``), so a dir a crashed
-    write half-filled is eventually removed, not just ignored."""
+    write half-filled is eventually removed, not just ignored.
+
+    ``fold`` (optional) reduces the unioned rows before writing —
+    the component-label table folds duplicate per-node rows to their
+    min (the resolved label), shrinking the compact instead of merely
+    concatenating history."""
     parts = _store_parts(spark, root, batch_id)
     n_batch_dirs = sum("/batch=" in p for p in parts)
     if n_batch_dirs < compact_every:
@@ -151,7 +161,10 @@ def _compact_store(
     target = f"{root}/compact={batch_id}"
     if target in parts:  # replay after a completed compaction
         return
-    spark.read.parquet(*parts).write.mode("overwrite").parquet(target)
+    unioned = spark.read.parquet(*parts)
+    if fold is not None:
+        unioned = fold(unioned)
+    unioned.write.mode("overwrite").parquet(target)
     # everything the new compact covers is now dead weight; removal is
     # safe because _store_parts already ignores superseded dirs
     for prefix in ("batch", "compact"):
@@ -293,6 +306,103 @@ def _pair_batch(
     return star_pairs.unionByName(near), novel
 
 
+def _fold_components(df: DataFrame) -> DataFrame:
+    """Resolve a union of component-label delta rows: a node's component
+    id only ever DECREASES (clusters merge toward the min id), so
+    "latest assignment wins" is exactly "min wins" — an order-free,
+    idempotent reduction that makes the label table safe to maintain as
+    append-only batch deltas."""
+    return df.groupBy("node").agg(F.min("component").alias("component"))
+
+
+def _update_components(
+    spark: SparkSession, comp_path: str, pairs: DataFrame, batch_id: int
+) -> None:
+    """Merge one batch's duplicate pairs into the persisted component
+    labels, re-propagating ONLY the touched components.
+
+    State: ``{comp_path}/batch=N`` delta partitions of ``(node,
+    component)`` rows, resolved by :func:`_fold_components` (min-wins).
+    Per batch:
+
+    1. the batch pairs' endpoints fetch their current labels — a
+       map-side scan of the delta partitions semi-joined against the
+       broadcast endpoint set, then min-wins over that tiny slice;
+    2. pairs contract to component ids; the contracted graph (≤ 2 ×
+       batch-pair endpoints nodes, regardless of corpus size) closes
+       with :func:`~curies_spark.operators.dedup.connected_components`;
+    3. delta rows: the endpoints under their merged components, plus
+       every PRIOR member of a losing component relabeled — again a
+       map-side delta scan against the broadcast merge map. Stale rows
+       can never resurrect: a superseded component id has no current
+       members, so it cannot reappear among the losers.
+
+    The write is batch-scoped overwrite and the read strictly-earlier
+    (same replay contract as the store): a replayed batch recomputes the
+    identical delta. Cost per batch is O(batch + touched members), not
+    O(accumulated pairs) — the incremental path the on-demand closure in
+    earlier rounds lacked."""
+    prior = _read_store(spark, comp_path, batch_id)
+    ends = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionByName(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if prior is not None:
+        end_labels = _fold_components(
+            prior.join(F.broadcast(ends), on="node", how="left_semi")
+        )
+        cur = ends.join(end_labels, on="node", how="left").select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    else:
+        cur = ends.withColumn("component", F.col("node"))
+    cur = cur.localCheckpoint()
+    la = cur.select(F.col("node").alias("id_a"), F.col("component").alias("_ca"))
+    lb = cur.select(F.col("node").alias("id_b"), F.col("component").alias("_cb"))
+    contracted = (
+        pairs.select("id_a", "id_b")
+        .join(F.broadcast(la), on="id_a")
+        .join(F.broadcast(lb), on="id_b")
+        .select(F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    from ..operators.dedup import connected_components
+
+    moves = (
+        connected_components(contracted)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("_old"), F.col("component").alias("_new"))
+        .localCheckpoint()
+    )
+    end_delta = cur.join(
+        F.broadcast(moves), cur["component"] == moves["_old"], "left"
+    ).select("node", F.coalesce("_new", "component").alias("component"))
+    if prior is not None:
+        member_delta = prior.join(
+            F.broadcast(moves), prior["component"] == moves["_old"]
+        ).select("node", F.col("_new").alias("component"))
+        delta = end_delta.unionByName(member_delta)
+    else:
+        delta = end_delta
+    _fold_components(delta).write.mode("overwrite").parquet(
+        f"{comp_path}/batch={batch_id}"
+    )
+
+
+def read_stream_components(
+    spark: SparkSession, out_dir: str
+) -> "DataFrame | None":
+    """The maintained ``(node, component)`` labels over everything the
+    stream has processed (committed batches only), min-wins resolved.
+    None when the stream ran with ``maintain_components=False`` (or has
+    produced nothing yet)."""
+    deltas = _read_store(spark, f"{out_dir}/components", None)
+    return None if deltas is None else _fold_components(deltas)
+
+
 def start_dedup_stream(
     spark: SparkSession,
     source_dir: str,
@@ -304,6 +414,7 @@ def start_dedup_stream(
     available_now: bool = True,
     max_files_per_trigger: "int | None" = None,
     compact_every: int = 8,
+    maintain_components: bool = True,
 ) -> StreamingQuery:
     """Start (or resume) the streaming near-dup detector.
 
@@ -328,16 +439,23 @@ def start_dedup_stream(
     """
     store_path = f"{out_dir}/store"
     pairs_path = f"{out_dir}/pairs"
+    comp_path = f"{out_dir}/components"
 
     def process(batch: DataFrame, batch_id: int) -> None:
         if compact_every:
             _compact_store(spark, store_path, batch_id, compact_every)
             _compact_store(spark, pairs_path, batch_id, compact_every)
+            if maintain_components:
+                _compact_store(
+                    spark, comp_path, batch_id, compact_every,
+                    fold=_fold_components,
+                )
         store = _read_store(spark, store_path, batch_id)
         staged = _stage(batch, k=k).localCheckpoint()
         pairs, novel = _pair_batch(
             staged, store, min_est_jaccard=min_est_jaccard
         )
+        pairs = pairs.localCheckpoint()
         # store FIRST: a crash between the writes then at worst leaves
         # batch N's novel docs visible as (unpaired) survivors until the
         # replay rewrites both — the reverse order would make a
@@ -349,6 +467,8 @@ def start_dedup_stream(
             f"{store_path}/batch={batch_id}"
         )
         pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch={batch_id}")
+        if maintain_components:
+            _update_components(spark, comp_path, pairs, batch_id)
 
     writer = (
         read_document_stream(
@@ -369,20 +489,52 @@ def read_stream_pairs(spark: SparkSession, out_dir: str) -> "DataFrame | None":
     return _read_store(spark, f"{out_dir}/pairs", None)
 
 
-def streamed_survivors(spark: SparkSession, out_dir: str) -> DataFrame:
+def streamed_survivors(
+    spark: SparkSession, out_dir: str, *, incremental: "bool | None" = None
+) -> DataFrame:
     """Survivor selection over everything the stream has processed:
-    connected components over the accumulated pairs table, min-id
-    representative per component, plus every untouched document — the
-    same closure + survivor rule as the batch pipeline
-    (plans/dedup_pipeline.py step 5-6), run as a periodic batch job
-    over the stream's outputs. Returns a ``doc_id`` DataFrame equal to
-    the batch pipeline's survivors on the same corpus (asserted in
-    tests/test_streaming.py)."""
+    min-id representative per near-duplicate component, plus every
+    untouched document — the same closure + survivor rule as the batch
+    pipeline (plans/dedup_pipeline.py step 5-6). Returns a ``doc_id``
+    DataFrame equal to the batch pipeline's survivors on the same
+    corpus (asserted in tests/test_streaming.py).
+
+    ``incremental=None`` (default) uses the per-batch-maintained
+    component labels when the stream wrote them
+    (``maintain_components=True``) — the losers are then a read of the
+    label table, with NO closure recomputation over the accumulated
+    pairs, so survivor queries stay cheap as pairs accumulate on a
+    long-running stream. ``incremental=False`` forces the full closure
+    over the pairs table (the differential twin the tests compare
+    against); ``incremental=True`` fails loud when no label table
+    exists."""
     from ..operators.dedup import connected_components
 
-    pairs = read_stream_pairs(spark, out_dir)
     store = _read_store(spark, f"{out_dir}/store", None)
     ids = store.select("doc_id") if store is not None else None
+    comps = None
+    if incremental is None or incremental:
+        comps = read_stream_components(spark, out_dir)
+        if incremental and comps is None:
+            raise ValueError(
+                f"no maintained component labels under {out_dir!r} — the "
+                "stream ran with maintain_components=False; use "
+                "incremental=False for the full-closure path"
+            )
+    if incremental is False:
+        comps = None
+
+    if comps is not None:
+        node_ids = comps.select(F.col("node").alias("doc_id"))
+        ids = node_ids if ids is None else ids.unionByName(node_ids)
+        if ids is None:
+            raise ValueError(f"no committed stream output under {out_dir!r}")
+        losers = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        return ids.distinct().join(losers, on="doc_id", how="left_anti")
+
+    pairs = read_stream_pairs(spark, out_dir)
     if pairs is not None:
         pair_ids = (
             pairs.select(F.col("id_a").alias("doc_id"))

@@ -425,6 +425,132 @@ def test_stream_dedup_compaction_bounds_store_dirs(spark, tmp_path):
     assert surv == {0, 1, 2, 5}
 
 
+def test_incremental_components_match_closure_every_batch(spark, tmp_path):
+    """The per-batch-maintained component labels must equal the full
+    closure over the accumulated pairs AFTER EVERY BATCH — including
+    batches that merge two previously-separate components (the case
+    where prior members of the losing component must be relabeled
+    without touching the rest of the table)."""
+    from pyspark.sql import Row
+
+    from curies_spark.operators.dedup import connected_components
+    from curies_spark.streaming import (
+        read_stream_components,
+        read_stream_pairs,
+        start_dedup_stream,
+        streamed_survivors,
+    )
+
+    src = str(tmp_path / "idocs")
+    out = str(tmp_path / "iout")
+    ckpt = str(tmp_path / "ickpt")
+    base_a = " ".join(f"a{i}" for i in range(30))
+    base_b = " ".join(f"b{i}" for i in range(30))
+    waves = [
+        # two separate families form
+        [Row(doc_id=10, text=base_a), Row(doc_id=20, text=base_b)],
+        [Row(doc_id=11, text=base_a.replace("a5", "x")),
+         Row(doc_id=21, text=base_b.replace("b5", "y"))],
+        # a smaller id arrives late and becomes family A's min — every
+        # existing A member must relabel (the member_delta path)
+        [Row(doc_id=5, text=base_a), Row(doc_id=99, text="standalone one")],
+        # late exact copies join each family under the new minima
+        [Row(doc_id=12, text=base_a), Row(doc_id=22, text=base_b),
+         Row(doc_id=7, text="standalone two")],
+        # family B's min drops too
+        [Row(doc_id=3, text=base_b)],
+    ]
+    for wave in waves:
+        spark.createDataFrame(wave).coalesce(1).write.mode("append").parquet(src)
+        q = start_dedup_stream(
+            spark, src, out, ckpt, min_est_jaccard=0.4, compact_every=2
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["node"], r["component"])
+            for r in read_stream_components(spark, out).collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                read_stream_pairs(spark, out).select("id_a", "id_b").distinct()
+            ).collect()
+        }
+        assert got == want, f"after wave ending with {wave[-1]}"
+
+        inc = {r["doc_id"] for r in streamed_survivors(spark, out).collect()}
+        full = {
+            r["doc_id"]
+            for r in streamed_survivors(spark, out, incremental=False).collect()
+        }
+        assert inc == full
+
+    # final survivors: min id per family (5 for A, 3 for B) + untouched
+    assert inc == {3, 5, 7, 99}
+    import pytest
+
+    with pytest.raises(ValueError, match="maintain_components"):
+        streamed_survivors(
+            spark, str(tmp_path / "nowhere"), incremental=True
+        )
+
+
+def test_update_components_merges_and_relabels(spark, tmp_path):
+    """Direct unit test of the incremental label updater, driving the
+    case streams can't engineer deterministically: a later batch's pair
+    BRIDGES two existing components, so every prior member of the
+    losing component must be relabeled via the map-side delta scan —
+    and a replayed batch must rewrite an identical delta."""
+    from curies_spark.operators.dedup import connected_components
+    from curies_spark.streaming.dedup import (
+        _fold_components,
+        _read_store,
+        _update_components,
+    )
+
+    comp_path = str(tmp_path / "comps")
+    batches = [
+        [(10, 11), (10, 12)],          # family A → 10
+        [(20, 21)],                    # family B → 20
+        [(11, 21)],                    # bridge: A ∪ B → 10 (B relabels)
+        [(5, 12)],                     # new min: everything → 5
+        [(40, 41), (7, 7)],            # unrelated family + self loop
+    ]
+    seen: list = []
+    for i, b in enumerate(batches):
+        pairs = spark.createDataFrame(b, ["id_a", "id_b"])
+        _update_components(spark, comp_path, pairs, i)
+        seen += b
+        got = {
+            (r["node"], r["component"])
+            for r in _fold_components(
+                _read_store(spark, comp_path, None)
+            ).collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                spark.createDataFrame(seen, ["id_a", "id_b"])
+            ).collect()
+        }
+        assert got == want, f"divergence after batch {i}: {b}"
+    # the bridge really merged: every member of both families → 5
+    comp_of = dict(got)
+    assert {comp_of[n] for n in (5, 10, 11, 12, 20, 21)} == {5}
+    assert comp_of[40] == 40 and comp_of[41] == 40 and comp_of[7] == 7
+
+    # replay batch 2 against its strictly-earlier state: identical state
+    _update_components(
+        spark, comp_path, spark.createDataFrame(batches[2], ["id_a", "id_b"]), 2
+    )
+    replayed = {
+        (r["node"], r["component"])
+        for r in _fold_components(_read_store(spark, comp_path, None)).collect()
+    }
+    assert replayed == got
+
+
 def test_stream_dedup_over_hadoop_fs_uri(spark, tmp_path):
     """The store/pairs directory management goes through the Hadoop
     FileSystem API: the whole stream must run with ``out_dir`` given as

@@ -200,6 +200,64 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(Exception):
         M.extract_features(df, decode=M.decode_stub).collect()
 
+
+def test_extract_features_custom_decode_roundtrip(spark):
+    """A user decode callable flows end-to-end through the mapInPandas
+    plumbing (the production swap-in path): the returned features are
+    the callable's output, batched and schema'd by the engine."""
+    rows = [
+        Row(media_id=1, kind="image", mime="image/png", width=2, height=2,
+            duration_ms=None, payload=bytearray(b"ab")),
+        Row(media_id=2, kind="image", mime="image/png", width=2, height=2,
+            duration_ms=None, payload=bytearray(b"wxyz")),
+        Row(media_id=3, kind="image", mime=None, width=None, height=None,
+            duration_ms=None, payload=None),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+
+    def decode(payload: bytes):
+        return [float(len(payload)), float(payload[0])]
+
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in M.extract_features(df, decode=decode).collect()
+    }
+    assert feats[1] == pytest.approx([2.0, ord("a")])
+    assert feats[2] == pytest.approx([4.0, ord("w")])
+    assert feats[3] is None
+
+
+def test_pil_image_decode_end_to_end(spark):
+    """Auto-activates where Pillow exists (lazy-import pattern): real
+    PNG bytes decode through the full Spark path; where Pillow is
+    absent the helper raises the install hint instead."""
+    try:
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(ImportError, match="[Pp]illow"):
+            M.pil_image_decode(b"not-an-image")
+        pytest.skip("Pillow not installed — raise-path verified")
+    import io
+
+    def png_bytes(color: int) -> bytes:
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        Row(media_id=1, kind="image", mime="image/png", width=8, height=8,
+            duration_ms=None, payload=bytearray(png_bytes(0))),
+        Row(media_id=2, kind="image", mime="image/png", width=8, height=8,
+            duration_ms=None, payload=bytearray(png_bytes(255))),
+    ]
+    df = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    feats = {
+        r["media_id"]: r["feature"]
+        for r in M.extract_features(df, decode=M.pil_image_decode).collect()
+    }
+    assert feats[1] == pytest.approx([0.0] * 16)
+    assert feats[2] == pytest.approx([1.0] * 16)
+
     # metadata-only projection prunes the payload column at the scan
     import tempfile, os
     with tempfile.TemporaryDirectory() as tmp:
@@ -893,6 +951,139 @@ def test_blas_cosine_rejects_zero_length_batches(spark):
     ).coalesce(1)
     with pytest.raises(Exception, match="zero-length"):
         df.select(S.cosine_vs_query_col(F.col("v"), [1.0, 0.0]).alias("c")).collect()
+
+
+def test_quantize_kernel_roundtrip(spark):
+    """Int8 per-vector-scale quantization: codes are the rounded
+    v/scale, scale = max|v|/127, NULL→NULL (including an all-null
+    batch), zero vector → zero code + zero scale, and the dequantized
+    vector is within one quantization step per element."""
+    import numpy as np
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, -0.5, 0.25, 0.0]),
+        Row(vec_id=1, embedding=None),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[10.0, 20.0, -30.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", S.quantize_vector_col(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    assert got[1] is None
+    assert got[2]["scale"] == 0.0 and got[2]["code"] == b"\x00" * 4
+    for r in rows:
+        if r.embedding is None or all(x == 0 for x in r.embedding):
+            continue
+        q = got[r.vec_id]
+        code = np.frombuffer(q["code"], dtype=np.int8).astype(np.float64)
+        assert np.abs(code).max() == 127  # scale anchored at max|v|
+        deq = code * q["scale"]
+        assert np.abs(deq - np.array(r.embedding)).max() <= q["scale"] * 0.5 + 1e-6
+
+    # an ALL-null batch (every row in one partition null) must not crash
+    nulls = spark.createDataFrame(
+        [Row(vec_id=9, embedding=None)], "vec_id long, embedding array<double>"
+    ).coalesce(1)
+    assert nulls.select(S.quantize_vector_col(F.col("embedding")).alias("q")).collect()[
+        0
+    ]["q"] is None
+
+
+def _clustered_corpus(spark, *, dim=16, clusters=8, per=200, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for c in range(clusters):
+        center = [rng.uniform(-1, 1) for _ in range(dim)]
+        for i in range(per):
+            rows.append(
+                Row(
+                    vec_id=c * 1000 + i,
+                    embedding=[x + rng.uniform(-0.05, 0.05) for x in center],
+                )
+            )
+    return spark.createDataFrame(rows), rows
+
+
+def test_quantized_ann_index_matches_float(spark, tmp_path):
+    """The quantized two-table index must return the same top-k as the
+    float index under the default exact rerank; the codes-only path
+    (rerank=0) keeps high recall; layout mismatches fail loud on
+    append, and the streaming appender refuses a quantized index."""
+    corpus, rows = _clustered_corpus(spark)
+    qv = rows[5]["embedding"]
+    fpath, qpath = str(tmp_path / "fidx"), str(tmp_path / "qidx")
+    S.build_ann_index(corpus, fpath, dim=16, n_planes=6)
+    S.build_ann_index(corpus, qpath, dim=16, n_planes=6, quantize=True)
+
+    fl = [r["vec_id"] for r in S.query_ann_index(spark, fpath, qv, k=10).collect()]
+    qu = [r["vec_id"] for r in S.query_ann_index(spark, qpath, qv, k=10).collect()]
+    assert qu == fl  # exact rerank reproduces the float ranking
+    codes_only = [
+        r["vec_id"]
+        for r in S.query_ann_index(spark, qpath, qv, k=10, rerank=0).collect()
+    ]
+    assert len(set(codes_only) & set(fl)) >= 8
+
+    # layout recorded in _params: float append into quantized index fails
+    with pytest.raises(ValueError, match="quantize"):
+        S.append_to_ann_index(corpus.limit(1), qpath, dim=16, n_planes=6)
+    # quantized append lands in both tables and is probe-visible
+    S.append_to_ann_index(
+        spark.createDataFrame([Row(vec_id=99999, embedding=qv)]),
+        qpath, dim=16, n_planes=6, quantize=True,
+    )
+    top = {
+        r["vec_id"] for r in S.query_ann_index(spark, qpath, qv, k=2).collect()
+    }
+    assert 99999 in top
+
+    # the streaming appender writes the flat layout — it must refuse
+    from curies_spark.streaming.ann import start_ann_index_stream
+
+    with pytest.raises(ValueError, match="quantize"):
+        start_ann_index_stream(
+            spark, str(tmp_path / "nosrc"), qpath, str(tmp_path / "nockpt"),
+            dim=16, n_planes=6,
+        )
+
+
+def test_quantized_ivf_matches_float(spark, tmp_path):
+    """Quantized IVF: same top-k as float under exact rerank; appends
+    follow the index's own layout; centroid-only seed cannot quantize."""
+    corpus, rows = _clustered_corpus(spark, seed=5)
+    qv = rows[7]["embedding"]
+    fpath, qpath = str(tmp_path / "fivf"), str(tmp_path / "qivf")
+    S.build_ivf_index(corpus, fpath, dim=16, k=8, iters=3)
+    S.build_ivf_index(corpus, qpath, dim=16, k=8, iters=3, quantize=True)
+    fl = [
+        r["vec_id"]
+        for r in S.query_ivf_index(spark, fpath, qv, k=10, nprobe=2).collect()
+    ]
+    qu = [
+        r["vec_id"]
+        for r in S.query_ivf_index(spark, qpath, qv, k=10, nprobe=2).collect()
+    ]
+    assert qu == fl
+    # append follows the quantized layout automatically
+    S.append_to_ivf_index(
+        spark.createDataFrame([Row(vec_id=88888, embedding=qv)]), qpath
+    )
+    top = {
+        r["vec_id"]
+        for r in S.query_ivf_index(spark, qpath, qv, k=2, nprobe=2).collect()
+    }
+    assert 88888 in top
+    with pytest.raises(ValueError, match="write_vectors"):
+        S.build_ivf_index(
+            corpus, str(tmp_path / "seed"), dim=16, k=4,
+            write_vectors=False, quantize=True,
+        )
 
 
 def test_exact_dup_groups_max_ids_caps_before_aggregation(spark):

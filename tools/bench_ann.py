@@ -149,6 +149,59 @@ def main() -> None:
             "recall_at_k": round(recall_sum / QUERIES, 3),
         }
 
+    # quantized index (round 5): the ranking scan reads int8 codes
+    # (~4× fewer bytes per probed bucket); rerank=0 is the pure
+    # codes-ranked path, the default reranks a driver-scale shortlist
+    # against the float side (bytes for that fetch are counted too —
+    # at deployment it is a page-index point lookup bounded by the
+    # shortlist size, but this sandbox metric charges whole probed
+    # files, so the codes-only row is the clean read-fraction signal)
+    qindex = INDEX + "_quant"
+    shutil.rmtree(qindex, ignore_errors=True)
+    shutil.rmtree(qindex + "_params", ignore_errors=True)
+    t0 = time.perf_counter()
+    build_ann_index(corpus, qindex, dim=dim, n_planes=N_PLANES, quantize=True)
+    qbuild_wall = time.perf_counter() - t0
+
+    def _tree_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    quant = {
+        "quant_build_wall_sec": round(qbuild_wall, 2),
+        "float_index_bytes": _tree_bytes(INDEX),
+        "quant_codes_bytes": _tree_bytes(os.path.join(qindex, "codes")),
+        "quant_vectors_bytes": _tree_bytes(os.path.join(qindex, "vectors")),
+    }
+    for mp in (1, 2, 3):
+        for mode, rerank in (("codes_only", 0), ("rerank", None)):
+            if mp == 3 and mode == "rerank":
+                continue  # the equal-recall comparison point is codes-only
+            probe_bytes = 0
+            probe_wall = 0.0
+            recall_sum = 0.0
+            for q, exact in zip(queries, exacts):
+                b0 = scanned_bytes()
+                t0 = time.perf_counter()
+                ann = {
+                    r["vec_id"]
+                    for r in query_ann_index(
+                        spark, qindex, q, k=K,
+                        multiprobe_bits=mp, rerank=rerank,
+                    ).collect()
+                }
+                probe_wall += time.perf_counter() - t0
+                probe_bytes += scanned_bytes() - b0
+                recall_sum += len(ann & exact) / K
+            quant[f"quant_{mode}_multiprobe_{mp}"] = {
+                "probe_bytes_per_query": probe_bytes // QUERIES,
+                "probe_read_fraction": round(probe_bytes / max(scan_bytes, 1), 4),
+                "probe_wall_per_query_sec": round(probe_wall / QUERIES, 3),
+                "recall_at_k": round(recall_sum / QUERIES, 3),
+            }
+
     # IVF: corpus-adaptive cells vs the data-independent LSH buckets
     ivf_path = "/tmp/curies_spark_ivf_index"
     shutil.rmtree(ivf_path, ignore_errors=True)
@@ -198,6 +251,7 @@ def main() -> None:
                 "full_scan_bytes_per_query": scan_bytes // QUERIES,
                 "full_scan_wall_per_query_sec": round(scan_wall / QUERIES, 3),
                 **probes,
+                **quant,
                 **ivf,
             }
         )

@@ -90,7 +90,16 @@ def main() -> None:
 
     pairs = read_stream_pairs(spark, out)
     n_pairs = pairs.count()
+    # survivor query cost: the incrementally-maintained label path (a
+    # read of the folded label table) vs the full closure recompute over
+    # all accumulated pairs (the round-4 on-demand design)
+    t0 = time.perf_counter()
     n_survivors = streamed_survivors(spark, out).count()
+    incr_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    n_survivors_full = streamed_survivors(spark, out, incremental=False).count()
+    closure_wall = time.perf_counter() - t0
+    assert n_survivors == n_survivors_full
     store_dirs = sorted(
         os.path.basename(p) for p in glob.glob(f"{out}/store/*") if "=" in p
     )
@@ -111,6 +120,8 @@ def main() -> None:
                 "docs_per_sec": round(N_BATCHES * BATCH_ROWS / total_wall),
                 "pairs": n_pairs,
                 "survivors": n_survivors,
+                "survivors_incremental_sec": round(incr_wall, 2),
+                "survivors_full_closure_sec": round(closure_wall, 2),
                 "store_dirs_after_compaction": store_dirs,
             }
         )
