@@ -168,8 +168,22 @@ def start_ivf_index_stream(
     idempotent under crash replay, and ``query_ivf_index``'s ``cid``
     filter partition-prunes the nested layout exactly like the flat
     batch one."""
-    from ..operators.similarity import _ivf_assign, load_ivf_centroids
+    from ..operators.similarity import (
+        _ivf_assign,
+        _ivf_quantized,
+        load_ivf_centroids,
+    )
 
+    if _ivf_quantized(spark, index_path):
+        # this appender writes the flat float layout; appending it into
+        # a quantized (codes+vectors) index would leave the new rows
+        # invisible to code-ranked probes — same fail-loud contract as
+        # the ANN appender
+        raise ValueError(
+            f"IVF index at {index_path!r} uses the quantized layout; "
+            "the streaming appender writes the flat float layout — "
+            "use append_to_ivf_index (batch) for quantized indexes"
+        )
     cids, cents = load_ivf_centroids(spark, index_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:

@@ -34,7 +34,7 @@ def main() -> None:
     from curies_spark.operators.dedup import connected_components
 
     results = {}
-    for n_nodes in (1_000_000, 4_000_000):
+    for n_nodes in (1_000_000, 4_000_000, 10_000_000):
         nodes = spark.range(n_nodes)
         # dense small clusters: consecutive ids i, i+1 in the same
         # CLUSTER-sized block, plus block-min spokes (diameter 2);
@@ -70,8 +70,27 @@ def main() -> None:
             "edges_per_sec": int(n_edges / wall),
         }
 
+    # the adversarial shape the round-5 star fallback exists for: ONE
+    # chain of 100k nodes (diameter 10^5 — label propagation would need
+    # 10^5 rounds; auto-switch finishes in logarithmic star rounds)
+    chain_n = 100_000
+    chain = (
+        spark.range(chain_n - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+        .cache()
+    )
+    chain.count()
+    t0 = time.perf_counter()
+    comp = connected_components(chain, max_iter=40, switch_after=4)
+    n_comp = comp.select("component").distinct().count()
+    chain_wall = time.perf_counter() - t0
+    assert n_comp == 1, n_comp
+    chain.unpersist()
+
     spark.stop()
-    small, large = results["n1000000"], results["n4000000"]
+    small, large, huge = (
+        results["n1000000"], results["n4000000"], results["n10000000"]
+    )
     print(
         json.dumps(
             {
@@ -80,6 +99,11 @@ def main() -> None:
                 "wall_ratio_4x_edges": round(
                     large["wall_sec"] / small["wall_sec"], 2
                 ),
+                "wall_ratio_10x_edges": round(
+                    huge["wall_sec"] / small["wall_sec"], 2
+                ),
+                "deep_chain_nodes": chain_n,
+                "deep_chain_wall_sec": round(chain_wall, 2),
             }
         )
     )
