@@ -116,6 +116,26 @@ def test_discover_plan(spark, queries):
     assert "ReusedExchange" in final, final
 
 
+def test_discover_construction_is_lazy(spark, queries):
+    """Constructing the discover query must run ZERO Spark jobs — an
+    eager aggregation at construction time would move the real work
+    outside any caller's timed region (the benchmark-honesty trap
+    CLAUDE.md documents: bench.py builds the DataFrame once and times
+    re-executions)."""
+    import __spark_entry__ as entry
+    from curies_spark.operators.discovery import discover_records_df
+
+    uris = entry._uris(spark, SF_DIR)  # the parquet read runs its own
+    # listing job; the operator under test must add NONE on top
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    discover_records_df(uris, "uri", cutoff=2)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, (
+        f"discover construction launched job(s): {sorted(after - before)}"
+    )
+
+
 def test_ann_topk_plan(spark, queries):
     """Brute cosine top-k: pushed query-row filter, TakeOrdered (never a
     global sort), and exactly the intentional BLAS Arrow stage."""

@@ -1107,3 +1107,99 @@ def test_connected_components_empty_and_single_edge(spark):
     one = spark.createDataFrame([Row(id_a=5, id_b=2)])
     got = {(r["node"], r["component"]) for r in D.connected_components(one).collect()}
     assert got == {(2, 2), (5, 2)}
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter cross-snapshot dedup
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    """Every inserted value is ALWAYS seen (the property exclude_seen's
+    exactness shortcut rests on); the false-positive rate on disjoint
+    values stays near the target."""
+    from curies_spark.operators import bloom as B
+
+    hist = spark.createDataFrame(
+        [(f"doc number {i}",) for i in range(2000)], ["text"]
+    ).repartition(4)
+    bf = B.build_bloom_filter(hist, "text", expected_items=2000, fpp=0.01)
+    assert bf.n_items == 2000
+
+    seen = (
+        hist.select(B.bloom_seen_col("text", bf).alias("s"))
+        .agg(F.sum(F.col("s").cast("int")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert seen == 2000  # no false negatives, ever
+
+    novel = spark.createDataFrame(
+        [(f"unrelated item {i}",) for i in range(2000)], ["text"]
+    )
+    fp = (
+        novel.select(B.bloom_seen_col("text", bf).alias("s"))
+        .agg(F.sum(F.col("s").cast("int")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert fp / 2000 < 0.05  # ~1% target, generous bound
+
+    # NULLs are never seen
+    nulls = spark.createDataFrame([(None,), ("doc number 7",)], "text string")
+    got = [r["s"] for r in nulls.select(B.bloom_seen_col("text", bf).alias("s")).collect()]
+    assert got[0] is None and got[1] is True
+
+
+def test_exclude_seen_exact_under_heavy_false_positives(spark):
+    """With the verification join, exclude_seen must equal a plain
+    left_anti join on the value — even when the filter is deliberately
+    undersized (fpp ≈ 0.5) so false positives are everywhere. The
+    bloom's only effect is to shrink the join input, never the answer."""
+    import random
+
+    from curies_spark.operators import bloom as B
+
+    rng = random.Random(13)
+    hist_vals = [f"hist {i}" for i in range(500)]
+    inc_vals = (
+        [f"hist {rng.randrange(500)}" for _ in range(200)]   # true dups
+        + [f"novel {i}" for i in range(300)]
+        + [None]
+    )
+    hist = spark.createDataFrame([(v,) for v in hist_vals], ["text"])
+    inc = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(inc_vals)], "doc_id long, text string"
+    )
+    # undersized on purpose: expected 20 items, fed 500 → fpp ~ 1
+    bf = B.build_bloom_filter(hist, "text", expected_items=20, fpp=0.3)
+    got = {
+        r["doc_id"]
+        for r in B.exclude_seen(inc, bf, history=hist).collect()
+    }
+    want = {
+        r["doc_id"]
+        for r in inc.join(hist, on="text", how="left_anti").collect()
+    }
+    assert got == want
+    # approximate mode only ever keeps a subset of the exact answer
+    approx = {r["doc_id"] for r in B.exclude_seen(inc, bf).collect()}
+    assert approx <= want
+
+
+def test_bloom_probe_plan_is_shuffle_free(spark):
+    """The bloom-negative fast path is a map-side filter: probing adds
+    an Arrow stage but NO Exchange — the whole point vs the anti-join."""
+    import re
+
+    from curies_spark.operators import bloom as B
+
+    hist = spark.createDataFrame([("a",), ("b",)], ["text"])
+    bf = B.build_bloom_filter(hist, "text", expected_items=2)
+    inc = spark.createDataFrame([(1, "a"), (2, "z")], ["doc_id", "text"])
+    plan = (
+        B.exclude_seen(inc, bf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"Exchange (hash|range|SinglePartition)", plan), plan
+    assert "ArrowEvalPython" in plan, plan
