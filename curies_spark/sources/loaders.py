@@ -230,8 +230,10 @@ def write_triples(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     )
 
 
-def read_triples_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).select(*TRIPLE_COLUMNS)
+def read_triples_parquet(spark: SparkSession, path: str, *, tables=None) -> DataFrame:
+    from .tables import ParquetTables
+
+    return (tables or ParquetTables()).read(spark, path).select(*TRIPLE_COLUMNS)
 
 
 def write_triples_parquet(
@@ -240,16 +242,27 @@ def write_triples_parquet(
     *,
     mode: str = "overwrite",
     partition_by: "list[str] | None" = None,
+    tables=None,
 ) -> None:
-    """Partitioned parquet sink for the KG output; partition by subject
-    prefix by default for prefix-pruned downstream scans."""
+    """Partitioned table sink for the KG output; partition by subject
+    prefix by default for prefix-pruned downstream scans.
+
+    ``tables`` selects the table layout
+    (:mod:`curies_spark.sources.tables`): default partitioned parquet
+    at ``path``; pass an ``IcebergTables`` (catalog-name addressing) or
+    any duck-typed ``TableFormat`` to land the same partitioned write
+    in a lakehouse table format — the ONE seam between the engine's
+    outputs and the storage layer."""
     from ..operators.triples import curie_prefix
+    from .tables import ParquetTables
 
     out = df
     if partition_by is None:
         out = df.withColumn("subject_prefix", curie_prefix("subject"))
         partition_by = ["subject_prefix"]
-    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    (tables or ParquetTables()).write(
+        out, path, mode=mode, partition_by=partition_by
+    )
 
 
 def file_convert_column(
