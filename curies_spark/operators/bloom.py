@@ -88,6 +88,23 @@ class BloomFilter:
         return out
 
 
+def _set_bits(bits, values, k: int, m: int) -> None:
+    """Insert values into a bitmap in place — the ONE insert definition
+    shared by the distributed build and driver-side/property tests, so
+    the probe side (:meth:`BloomFilter.contains_many`) and the insert
+    side can never drift."""
+    import numpy as np
+
+    h1, h2 = _hash_pair(values)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(
+            bits,
+            (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+        )
+
+
 def _plan_bits(expected_items: int, fpp: float) -> "tuple[int, int]":
     import math
 
@@ -128,14 +145,7 @@ def build_bloom_filter(
             if not len(vals):
                 continue
             count += len(vals)
-            h1, h2 = _hash_pair(vals)
-            for i in range(k):
-                idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
-                np.bitwise_or.at(
-                    bits,
-                    (idx >> np.uint64(3)).astype(np.int64),
-                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
-                )
+            _set_bits(bits, vals, k, m)
         yield pd.DataFrame({"bitmap": [bits.tobytes()], "n": [count]})
 
     rows = (

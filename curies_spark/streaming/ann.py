@@ -98,18 +98,30 @@ def start_ann_index_stream(
     id_col: str = "vec_id",
     available_now: bool = True,
     max_files_per_trigger: "int | None" = None,
+    quantize: bool = False,
 ) -> StreamingQuery:
-    """Start (or resume) the streaming ANN index appender."""
+    """Start (or resume) the streaming ANN index appender.
+
+    ``quantize=True`` streams the two-table layout: each batch writes
+    ``codes/batch=N/sig=S`` (int8 per-vector-scale codes) and
+    ``vectors/batch=N/sig=S`` floats — the probe reads the ``codes``/
+    ``vectors`` roots with (batch, sig) partition discovery, so a
+    streamed quantized index answers ``query_ann_index`` exactly like a
+    batch-built one. The layout rides in ``_params`` and is verified on
+    every (re)start alongside the hyperplanes — resuming with the wrong
+    layout would leave rows invisible to the other layout's probes."""
     from .fsio import fs_exists
 
-    # quantize pinned to 0: the streaming appender writes the flat
-    # float layout, so resuming it into a quantized (two-table) index
-    # must fail loud instead of leaving rows invisible to code probes
-    params = {"dim": dim, "n_planes": n_planes, "seed": seed, "quantize": 0}
+    params = {
+        "dim": dim,
+        "n_planes": n_planes,
+        "seed": seed,
+        "quantize": int(quantize),
+    }
     # existence probed through the Hadoop FS API: the index path may be
     # any Hadoop filesystem URI, not just a local POSIX path
     if fs_exists(spark, index_path + "_params"):
-        # resuming into an existing index: the planes MUST match
+        # resuming into an existing index: planes AND layout must match
         _check_ann_params(spark, index_path, params)
     else:
         _write_ann_params(spark, index_path, params)
@@ -123,6 +135,28 @@ def start_ann_index_stream(
         )
         # one shuffle by bucket so each sig directory is written by a
         # single task; batch-scoped overwrite keeps replays idempotent
+        if quantize:
+            from ..operators.similarity import quantize_vector_col
+
+            staged = (
+                signed.repartition("sig")
+                .withColumn("_q", quantize_vector_col(F.col(vec_col)))
+                .localCheckpoint()  # one signing+quantization pass
+            )
+            staged.select(
+                id_col,
+                F.col("_q.code").alias("code"),
+                F.col("_q.scale").alias("scale"),
+                "sig",
+            ).write.mode("overwrite").partitionBy("sig").parquet(
+                f"{index_path}/codes/batch={batch_id}"
+            )
+            staged.select(id_col, vec_col, "sig").write.mode(
+                "overwrite"
+            ).partitionBy("sig").parquet(
+                f"{index_path}/vectors/batch={batch_id}"
+            )
+            return
         signed.repartition("sig").write.mode("overwrite").partitionBy(
             "sig"
         ).parquet(f"{index_path}/batch={batch_id}")

@@ -384,3 +384,56 @@ def test_random_preprocessing_agreement(data):
                 return ("ok", (rv.prefix, rv.identifier))
 
             assert run(ours) == run(theirs), (rules_dict, s, context, block_action)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter invariants (driver-side, no Spark — the distributed build
+# shares the same _set_bits/_hash_pair definitions)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    values=st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=60),
+    others=st.lists(st.text(min_size=0, max_size=30), min_size=0, max_size=30),
+    expected=st.integers(1, 500),
+    fpp=st.floats(0.001, 0.5),
+)
+def test_bloom_never_forgets(values, others, expected, fpp):
+    """NO false negatives, for any value set and any (even badly
+    undersized) sizing — the property exclude_seen's exactness rests
+    on. Disjoint values may collide (that's fpp), but membership of
+    every inserted value is guaranteed."""
+    import numpy as np
+
+    from curies_spark.operators.bloom import (
+        BloomFilter,
+        _hash_pair,
+        _plan_bits,
+        _set_bits,
+    )
+
+    m, k = _plan_bits(expected, fpp)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    arr = np.array(values, dtype=object)
+    _set_bits(bits, arr, k, m)
+    bf = BloomFilter(bitmap=bits.tobytes(), m_bits=m, k=k, n_items=len(values))
+
+    h1, h2 = _hash_pair(arr)
+    assert bf.contains_many(h1, h2).all()
+
+    # non-members are only ever wrongly POSITIVE, never change members
+    disjoint = [o for o in others if o not in set(values)]
+    if disjoint:
+        oh1, oh2 = _hash_pair(np.array(disjoint, dtype=object))
+        bf.contains_many(oh1, oh2)  # must not raise; value is fpp-bounded
+
+
+@settings(max_examples=60, deadline=None)
+@given(expected=st.integers(1, 10**7), fpp=st.floats(0.0001, 0.9))
+def test_bloom_sizing_sane(expected, fpp):
+    from curies_spark.operators.bloom import _plan_bits
+
+    m, k = _plan_bits(expected, fpp)
+    assert m % 8 == 0 and m >= 64
+    assert 1 <= k <= 64

@@ -698,6 +698,54 @@ def test_stream_ann_index_matches_batch_build(spark, tmp_path):
         start_ann_index_stream(spark, src, idx, ckpt, dim=64, n_planes=8, seed=7)
 
 
+def test_stream_quantized_ann_index_matches_batch_build(spark, tmp_path):
+    """The streamed QUANTIZED index (per-batch codes+vectors appends)
+    must answer query_ann_index identically to a batch-built quantized
+    index, and layout mismatches on resume fail loud both ways."""
+    import pytest as _pytest
+
+    from curies_spark.operators.similarity import build_ann_index, query_ann_index
+    from curies_spark.streaming import start_ann_index_stream
+
+    src = str(tmp_path / "qemb_src")
+    idx = str(tmp_path / "qemb_idx_stream")
+    ref_idx = str(tmp_path / "qemb_idx_batch")
+    ckpt = str(tmp_path / "qemb_ckpt")
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    for wave in (
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    ):
+        wave.coalesce(1).write.mode("append").parquet(src)
+        q = start_ann_index_stream(
+            spark, src, idx, ckpt, dim=64, n_planes=6, seed=7, quantize=True
+        )
+        q.awaitTermination(120)
+
+    build_ann_index(emb, ref_idx, dim=64, n_planes=6, seed=7, quantize=True)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = [r["vec_id"] for r in query_ann_index(spark, idx, qvec, k=5).collect()]
+    want = [r["vec_id"] for r in query_ann_index(spark, ref_idx, qvec, k=5).collect()]
+    assert got == want
+    # the codes-only path works over the streamed layout too
+    got0 = [
+        r["vec_id"]
+        for r in query_ann_index(spark, idx, qvec, k=5, rerank=0).collect()
+    ]
+    assert len(set(got0) & set(want)) >= 4
+
+    # layout is part of the resume contract, both directions
+    with _pytest.raises(ValueError, match="built with"):
+        start_ann_index_stream(
+            spark, src, idx, ckpt, dim=64, n_planes=6, seed=7, quantize=False
+        )
+
+
 def test_stream_ivf_index_matches_batch_append(spark, tmp_path):
     """Streamed IVF appends place vectors in exactly the cells the
     batch paths would (shared assignment kernel) and probe identically;
