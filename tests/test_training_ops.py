@@ -664,6 +664,35 @@ def test_ws_class_matches_python_whitespace():
     assert len(WS_CHARS) == len(set(WS_CHARS))
 
 
+def test_ws_class_java_fast_form_equivalent(spark):
+    """The fast (?U)-property rendering the JVM tokenizer actually uses
+    must match exactly WS_CHARS on the JVM: every WS_CHARS char is a
+    separator, and (probing the 0x00-0x2000 low range plus the class
+    itself) nothing outside WS_CHARS is."""
+    from curies_spark.operators.text import WS_CHARS, WS_CLASS_JAVA
+
+    probe_chars = sorted(
+        set(WS_CHARS) | {chr(c) for c in range(0x00, 0x400)} | {"　", " "}
+    )
+    rows = [(i, f"a{ch}b") for i, ch in enumerate(probe_chars) if ch not in "ab"]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: len(r["t"])
+        for r in df.select(
+            "i",
+            F.filter(
+                F.split(F.col("text"), WS_CLASS_JAVA + "+"), lambda t: t != ""
+            ).alias("t"),
+        ).collect()
+    }
+    expected = {
+        i: (2 if ch in set(WS_CHARS) else 1)
+        for i, ch in enumerate(probe_chars)
+        if ch not in "ab"
+    }
+    assert got == expected
+
+
 #: separators that diverge between ASCII \s and Unicode whitespace —
 #: NBSP, NEL, line/paragraph separators, narrow NBSP, ideographic
 #: space, C0 information separator
@@ -1183,6 +1212,23 @@ def test_exclude_seen_exact_under_heavy_false_positives(spark):
     # approximate mode only ever keeps a subset of the exact answer
     approx = {r["doc_id"] for r in B.exclude_seen(inc, bf).collect()}
     assert approx <= want
+
+
+def test_exclude_seen_history_column_rename(spark):
+    """The history side may name its key column differently
+    (history_column=); exactness is unaffected."""
+    from curies_spark.operators import bloom as B
+
+    hist = spark.createDataFrame([("a",), ("b",)], ["content"])
+    bf = B.build_bloom_filter(hist, "content", expected_items=2)
+    inc = spark.createDataFrame([(1, "a"), (2, "z")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]
+        for r in B.exclude_seen(
+            inc, bf, column="text", history=hist, history_column="content"
+        ).collect()
+    }
+    assert got == {2}
 
 
 def test_bloom_probe_plan_is_shuffle_free(spark):
