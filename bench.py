@@ -95,11 +95,34 @@ def _run_suite(
     return best, median, rows
 
 
+def _host_calibration() -> float:
+    """A fixed, Spark-free CPU workload (single-core numpy matmuls)
+    timed best-of-3 — a sentinel for cross-round comparisons on this
+    noisy host (documented 3-11% steal, up to 2× wall drift between
+    rounds: round-4 CODE re-measured on the round-5 host ran 2.2× its
+    recorded wall). Divide cross-round query walls by the calibration
+    ratio before reading them as regressions."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.random((512, 512))
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = a
+        for _ in range(60):
+            x = x @ a
+            x /= np.abs(x).max()
+        walls.append(time.perf_counter() - t0)
+    return round(min(walls), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    calibration = _host_calibration()
     spark = _build_spark(cpus)
     times, median, lineitem_rows = _run_suite(spark, sf_dir)
     spark.stop()
@@ -121,6 +144,10 @@ def main() -> None:
         "cpus": int(cpus),
         "lineitem_rows": lineitem_rows,
         "uri_curie_conversions_per_sec": conversions_per_sec,
+        # fixed single-core numpy workload: host-speed sentinel for
+        # cross-round wall comparisons on this noisy box (see BASELINE.md
+        # "host-drift control")
+        "host_calibration_sec": calibration,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
