@@ -92,6 +92,9 @@ def pil_image_decode(payload: bytes, *, size: int = 4) -> "list[float] | None":
     the full Spark plumbing runs against genuine image bytes. This is
     the production swap-in the stub documents — no other change is
     needed."""
+    if payload is None:
+        # the NULL-payload contract holds with or without Pillow
+        return None
     try:
         from PIL import Image
     except ImportError as exc:  # pragma: no cover - env dependent
@@ -101,9 +104,6 @@ def pil_image_decode(payload: bytes, *, size: int = 4) -> "list[float] | None":
             "pass your own decode callable"
         ) from exc
     import io
-
-    if payload is None:
-        return None
     img = Image.open(io.BytesIO(payload)).convert("L").resize((size, size))
     return [p / 255.0 for p in img.getdata()]
 

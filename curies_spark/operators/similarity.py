@@ -39,6 +39,7 @@ __all__ = [
     "lsh_topk",
     "probe_ann_index",
     "quantize_vector_col",
+    "write_quantized_partitions",
     "query_ann_index",
     "query_ivf_index",
     "query_signature",
@@ -494,6 +495,51 @@ def _probe_set(q_sig: int, n_planes: int, multiprobe_bits: int) -> "set[int]":
     return probes
 
 
+def write_quantized_partitions(
+    df: DataFrame,
+    root: str,
+    *,
+    partition_col: str,
+    vec_col: str,
+    id_col: str,
+    mode: str = "overwrite",
+    batch_id: "int | None" = None,
+) -> None:
+    """THE one definition of the quantized two-table write — every
+    build/append/streaming site funnels through it, so the layout
+    (column names, directory names, write ORDER) cannot drift between
+    writers (the same one-definition rule as ``_write_signed``'s
+    signing layout).
+
+    ``{root}/codes/...`` carries ``(id, code, scale)`` — int8
+    per-vector-scale quantization, ~4× fewer bytes per probed bucket —
+    and ``{root}/vectors/...`` the float vectors for the optional exact
+    rerank; ``batch_id`` nests the streamed ``batch=N`` level. One
+    staging pass (repartition + quantize + checkpoint) feeds both
+    writes. The VECTORS side is written FIRST: the ranking scan reads
+    codes, so a crash (or concurrent read) between the two writes
+    leaves the increment wholly invisible to probes — consistent
+    absence — instead of code-ranked but missing from the rerank fetch,
+    which would silently drop the true nearest neighbors."""
+    suffix = f"/batch={batch_id}" if batch_id is not None else ""
+    staged = (
+        df.repartition(partition_col)
+        .withColumn("_q", quantize_vector_col(F.col(vec_col)))
+        .localCheckpoint()  # one quantization pass for both writes
+    )
+    staged.select(id_col, vec_col, partition_col).write.mode(mode).partitionBy(
+        partition_col
+    ).parquet(f"{root}/vectors{suffix}")
+    staged.select(
+        id_col,
+        F.col("_q.code").alias("code"),
+        F.col("_q.scale").alias("scale"),
+        partition_col,
+    ).write.mode(mode).partitionBy(partition_col).parquet(
+        f"{root}/codes{suffix}"
+    )
+
+
 def _write_signed(
     df: DataFrame,
     index_path: str,
@@ -509,11 +555,8 @@ def _write_signed(
     """Shared sign-and-write for build/append — ONE definition of the
     signing layout so the append-equals-rebuild invariant can't drift.
 
-    ``quantize=True`` writes the two-table layout instead of the flat
-    one: ``{index}/codes/sig=S`` carries ``(id, code, scale)`` — the
-    int8 per-vector-scale quantization, ~4× fewer bytes per probed
-    bucket — and ``{index}/vectors/sig=S`` the float vectors for the
-    optional exact rerank. One signing pass feeds both writes."""
+    ``quantize=True`` writes the two-table layout
+    (:func:`write_quantized_partitions`) instead of the flat one."""
     planes = hyperplanes(dim, n_planes, seed=seed)
     signed = df.select(
         F.col(id_col),
@@ -527,17 +570,14 @@ def _write_signed(
             index_path
         )
         return
-    staged = (
-        signed.repartition("sig")
-        .withColumn("_q", quantize_vector_col(F.col(vec_col)))
-        .localCheckpoint()  # one signing+quantization pass for both writes
+    write_quantized_partitions(
+        signed,
+        index_path,
+        partition_col="sig",
+        vec_col=vec_col,
+        id_col=id_col,
+        mode=mode,
     )
-    staged.select(
-        id_col, F.col("_q.code").alias("code"), F.col("_q.scale").alias("scale"), "sig"
-    ).write.mode(mode).partitionBy("sig").parquet(f"{index_path}/codes")
-    staged.select(id_col, vec_col, "sig").write.mode(mode).partitionBy(
-        "sig"
-    ).parquet(f"{index_path}/vectors")
 
 
 def _ann_params_path(index_path: str) -> str:
@@ -897,12 +937,9 @@ def build_ivf_index(
     """
     if not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
-    if quantize and not write_vectors:
-        raise ValueError(
-            "quantize=True requires write_vectors=True (a centroid-only "
-            "seed index has no payload to quantize; streamed quantized "
-            "IVF appends are not supported)"
-        )
+    # quantize + write_vectors=False is the SEED for a streamed
+    # quantized IVF index: no payload is written here, but _params
+    # records the layout so every streamed batch writes codes+vectors
     tagged = df.select(F.col(id_col), F.col(vec_col))
     if train_fraction < 1.0:
         # deterministic slice: keep ids whose xxhash64 lands below the
@@ -943,22 +980,13 @@ def build_ivf_index(
             # two-table layout, same rationale as the quantized ANN
             # index: probes rank from the ~4×-smaller codes/cid=C side,
             # exact rerank reads vectors/cid=C
-            staged = (
-                final.repartition("cid")
-                .withColumn("_q", quantize_vector_col(F.col(vec_col)))
-                .localCheckpoint()
+            write_quantized_partitions(
+                final,
+                index_path,
+                partition_col="cid",
+                vec_col=vec_col,
+                id_col=id_col,
             )
-            staged.select(
-                id_col,
-                F.col("_q.code").alias("code"),
-                F.col("_q.scale").alias("scale"),
-                "cid",
-            ).write.mode("overwrite").partitionBy("cid").parquet(
-                f"{index_path}/codes"
-            )
-            staged.select(id_col, vec_col, "cid").write.mode(
-                "overwrite"
-            ).partitionBy("cid").parquet(f"{index_path}/vectors")
         else:
             final.repartition("cid").write.mode("overwrite").partitionBy(
                 "cid"
@@ -1022,20 +1050,14 @@ def append_to_ivf_index(
     # shape check) — no driver-side scan needed here
     assigned = _ivf_assign(df, cents, cids, vec_col, id_col)
     if _ivf_quantized(df.sparkSession, index_path):
-        staged = (
-            assigned.repartition("cid")
-            .withColumn("_q", quantize_vector_col(F.col(vec_col)))
-            .localCheckpoint()
+        write_quantized_partitions(
+            assigned,
+            index_path,
+            partition_col="cid",
+            vec_col=vec_col,
+            id_col=id_col,
+            mode="append",
         )
-        staged.select(
-            id_col,
-            F.col("_q.code").alias("code"),
-            F.col("_q.scale").alias("scale"),
-            "cid",
-        ).write.mode("append").partitionBy("cid").parquet(f"{index_path}/codes")
-        staged.select(id_col, vec_col, "cid").write.mode("append").partitionBy(
-            "cid"
-        ).parquet(f"{index_path}/vectors")
         return
     assigned.repartition("cid").write.mode("append").partitionBy("cid").parquet(
         index_path

@@ -117,9 +117,12 @@ class IcebergTables:
         if mode == "overwrite":
             writer.createOrReplace()
         elif mode == "append":
-            try:
+            # probe existence explicitly — a bare try/append-except-create
+            # would misread a real append failure (schema mismatch,
+            # commit conflict) as "table missing" and mask the root cause
+            if df.sparkSession.catalog.tableExists(name):
                 writer.append()
-            except Exception:  # first append: table does not exist yet
+            else:
                 writer.create()
         else:
             raise ValueError(f"unsupported mode {mode!r}: overwrite|append")

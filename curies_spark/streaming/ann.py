@@ -136,25 +136,15 @@ def start_ann_index_stream(
         # one shuffle by bucket so each sig directory is written by a
         # single task; batch-scoped overwrite keeps replays idempotent
         if quantize:
-            from ..operators.similarity import quantize_vector_col
+            from ..operators.similarity import write_quantized_partitions
 
-            staged = (
-                signed.repartition("sig")
-                .withColumn("_q", quantize_vector_col(F.col(vec_col)))
-                .localCheckpoint()  # one signing+quantization pass
-            )
-            staged.select(
-                id_col,
-                F.col("_q.code").alias("code"),
-                F.col("_q.scale").alias("scale"),
-                "sig",
-            ).write.mode("overwrite").partitionBy("sig").parquet(
-                f"{index_path}/codes/batch={batch_id}"
-            )
-            staged.select(id_col, vec_col, "sig").write.mode(
-                "overwrite"
-            ).partitionBy("sig").parquet(
-                f"{index_path}/vectors/batch={batch_id}"
+            write_quantized_partitions(
+                signed,
+                index_path,
+                partition_col="sig",
+                vec_col=vec_col,
+                id_col=id_col,
+                batch_id=batch_id,
             )
             return
         signed.repartition("sig").write.mode("overwrite").partitionBy(
@@ -208,20 +198,26 @@ def start_ivf_index_stream(
         load_ivf_centroids,
     )
 
-    if _ivf_quantized(spark, index_path):
-        # this appender writes the flat float layout; appending it into
-        # a quantized (codes+vectors) index would leave the new rows
-        # invisible to code-ranked probes — same fail-loud contract as
-        # the ANN appender
-        raise ValueError(
-            f"IVF index at {index_path!r} uses the quantized layout; "
-            "the streaming appender writes the flat float layout — "
-            "use append_to_ivf_index (batch) for quantized indexes"
-        )
+    # the index's OWN recorded layout decides what each batch writes —
+    # exactly like the batch appender, so appended rows are always
+    # visible to the layout's probes
+    quantized = _ivf_quantized(spark, index_path)
     cids, cents = load_ivf_centroids(spark, index_path)
 
     def process(batch: DataFrame, batch_id: int) -> None:
         assigned = _ivf_assign(batch, cents, cids, vec_col, id_col)
+        if quantized:
+            from ..operators.similarity import write_quantized_partitions
+
+            write_quantized_partitions(
+                assigned,
+                index_path,
+                partition_col="cid",
+                vec_col=vec_col,
+                id_col=id_col,
+                batch_id=batch_id,
+            )
+            return
         assigned.repartition("cid").write.mode("overwrite").partitionBy(
             "cid"
         ).parquet(f"{index_path}/batch={batch_id}")

@@ -525,14 +525,40 @@ def streamed_survivors(
         comps = None
 
     if comps is not None:
-        node_ids = comps.select(F.col("node").alias("doc_id"))
-        ids = node_ids if ids is None else ids.unionByName(node_ids)
-        if ids is None:
-            raise ValueError(f"no committed stream output under {out_dir!r}")
-        losers = comps.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("doc_id")
-        )
-        return ids.distinct().join(losers, on="doc_id", how="left_anti")
+        # coverage guard: the label table is only trustworthy if it
+        # covers EVERY accumulated pair endpoint. A stream resumed from
+        # a checkpoint whose earlier batches ran without maintenance
+        # (maintain_components=False, or a pre-maintenance layout) has
+        # pairs the labels never saw — silently using the partial table
+        # would let those duplicates survive. One anti-join probe
+        # detects the gap; incremental=True fails loud on it, the
+        # default falls back to the full closure.
+        pairs0 = read_stream_pairs(spark, out_dir)
+        if pairs0 is not None:
+            endpoints = (
+                pairs0.select(F.col("id_a").alias("node"))
+                .unionByName(pairs0.select(F.col("id_b").alias("node")))
+                .distinct()
+            )
+            uncovered = endpoints.join(
+                comps.select("node"), on="node", how="left_anti"
+            )
+            if not uncovered.isEmpty():
+                if incremental:
+                    raise ValueError(
+                        f"component labels under {out_dir!r} do not cover "
+                        "every accumulated pair endpoint (earlier batches "
+                        "ran without maintain_components?) — use "
+                        "incremental=False for the full-closure path"
+                    )
+                comps = None  # fall through to the exact closure below
+        if comps is not None:
+            node_ids = comps.select(F.col("node").alias("doc_id"))
+            ids = node_ids if ids is None else ids.unionByName(node_ids)
+            losers = comps.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias("doc_id")
+            )
+            return ids.distinct().join(losers, on="doc_id", how="left_anti")
 
     pairs = read_stream_pairs(spark, out_dir)
     if pairs is not None:

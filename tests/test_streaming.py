@@ -496,6 +496,46 @@ def test_incremental_components_match_closure_every_batch(spark, tmp_path):
         )
 
 
+def test_incremental_survivors_guard_partial_labels(spark, tmp_path):
+    """A stream whose earlier batches ran WITHOUT component maintenance
+    leaves pairs the label table never saw. The default survivors path
+    must detect the gap and fall back to the exact closure (not
+    silently trust the partial labels); incremental=True fails loud."""
+    from pyspark.sql import Row
+
+    from curies_spark.streaming import start_dedup_stream, streamed_survivors
+
+    src = str(tmp_path / "gdocs")
+    out = str(tmp_path / "gout")
+    ckpt = str(tmp_path / "gckpt")
+    base = " ".join(f"g{i}" for i in range(30))
+    # wave 1 (duplicates!) processed with maintenance OFF
+    spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=base)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, ckpt, maintain_components=False)
+    q.awaitTermination(120)
+    # wave 2 processed with maintenance ON (the resumed-with-new-default
+    # shape): labels now exist but don't cover wave 1's pair
+    spark.createDataFrame(
+        [Row(doc_id=3, text=base), Row(doc_id=9, text="unrelated words here")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, out, ckpt, maintain_components=True)
+    q.awaitTermination(120)
+
+    full = {
+        r["doc_id"]
+        for r in streamed_survivors(spark, out, incremental=False).collect()
+    }
+    assert full == {1, 9}
+    # default: detects the coverage gap, falls back, stays exact
+    assert {r["doc_id"] for r in streamed_survivors(spark, out).collect()} == full
+    import pytest
+
+    with pytest.raises(ValueError, match="do not cover"):
+        streamed_survivors(spark, out, incremental=True).collect()
+
+
 def test_update_components_merges_and_relabels(spark, tmp_path):
     """Direct unit test of the incremental label updater, driving the
     case streams can't engineer deterministically: a later batch's pair
@@ -791,6 +831,48 @@ def test_stream_ivf_index_matches_batch_append(spark, tmp_path):
     q = start_ivf_index_stream(spark, src, idx, ckpt)
     q.awaitTermination(120)
     assert spark.read.parquet(idx).count() == n == emb.count()
+
+
+def test_stream_quantized_ivf_matches_batch_build(spark, tmp_path):
+    """A quantized-seed IVF index (`build_ivf_index(write_vectors=False,
+    quantize=True)`) makes every streamed batch write the codes+vectors
+    layout; queries answer identically to a fully batch-built quantized
+    index over the same vectors."""
+    from curies_spark.operators.similarity import build_ivf_index, query_ivf_index
+    from curies_spark.streaming import start_ivf_index_stream
+
+    src = str(tmp_path / "qivf_src")
+    idx = str(tmp_path / "qivf_idx_stream")
+    ref_idx = str(tmp_path / "qivf_idx_batch")
+    ckpt = str(tmp_path / "qivf_ckpt")
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .cache()
+    )
+    build_ivf_index(emb, ref_idx, dim=64, k=8, iters=2, quantize=True)
+    build_ivf_index(
+        emb, idx, dim=64, k=8, iters=2, write_vectors=False, quantize=True
+    )
+    for pred in (F.col("vec_id") % 2 == 0, F.col("vec_id") % 2 == 1):
+        emb.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        q = start_ivf_index_stream(spark, src, idx, ckpt)
+        q.awaitTermination(120)
+
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    got = [
+        r["vec_id"]
+        for r in query_ivf_index(spark, idx, qvec, k=5, nprobe=2).collect()
+    ]
+    want = [
+        r["vec_id"]
+        for r in query_ivf_index(spark, ref_idx, qvec, k=5, nprobe=2).collect()
+    ]
+    assert got == want
+    # both sides of the layout really landed per batch
+    assert spark.read.parquet(f"{idx}/codes").count() == emb.count()
+    assert spark.read.parquet(f"{idx}/vectors").count() == emb.count()
 
 
 def test_stream_dedup_shuffle_fallback_above_broadcast_cap(spark, tmp_path, monkeypatch):

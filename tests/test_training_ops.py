@@ -1108,11 +1108,13 @@ def test_quantized_ivf_matches_float(spark, tmp_path):
         for r in S.query_ivf_index(spark, qpath, qv, k=2, nprobe=2).collect()
     }
     assert 88888 in top
-    with pytest.raises(ValueError, match="write_vectors"):
-        S.build_ivf_index(
-            corpus, str(tmp_path / "seed"), dim=16, k=4,
-            write_vectors=False, quantize=True,
-        )
+    # centroid-only seed with quantize=True records the layout (for the
+    # streamed appender) without writing any payload
+    seed_path = str(tmp_path / "seed")
+    S.build_ivf_index(
+        corpus, seed_path, dim=16, k=4, write_vectors=False, quantize=True
+    )
+    assert S._ivf_quantized(spark, seed_path)
 
 
 def test_exact_dup_groups_max_ids_caps_before_aggregation(spark):

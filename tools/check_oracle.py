@@ -134,12 +134,15 @@ def main() -> int:
         ocols = [d[0] for d in ocur.description]
         ok_cols = sorted(scols) == sorted(ocols)
         mode = "py"
+        sn = sh = None
         if exact_typed and ok_cols:
-            n_spark = sdf.count()
-            if n_spark > AGG_THRESHOLD:
+            # the checksum pass itself returns the row count — deciding
+            # the mode from it avoids executing the (possibly
+            # multi-million-row) Spark plan twice
+            sn, sh = _agg_checksum_spark(sdf)
+            if sn > AGG_THRESHOLD:
                 mode = "agg"
         if mode == "agg":
-            sn, sh = _agg_checksum_spark(sdf)
             on, oh = _agg_checksum_duckdb(con, oracles[name], ocols)
             srows_n, orows_n = sn, on
             ok_count = sn == on
