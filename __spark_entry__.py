@@ -51,16 +51,51 @@ def _sc(spark: SparkSession, which: str = "demo") -> SparkConverter:
     return per_session[which]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, *, fanout: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fanout_scan(spark, df) if fanout else df
+
+
+def _fanout_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Under-split input guard (optimization guide §2.5 "input skew …
+    repartition immediately after the read", §6.1): the sf tables are ONE
+    parquet file with ONE row group, so their scan runs as a single task
+    and every downstream map stage inherits parallelism 1 no matter the
+    core count. Fan out to the session's parallelism by hashing the
+    leading key column (hash repartition skips round-robin's
+    sort-before-repartition). Scale-adaptive: an input that already
+    exposes >= defaultParallelism scan splits is left untouched, so this
+    never adds an exchange on well-laid-out data.
+
+    Applied per call site, only where the downstream per-row work
+    outweighs one extra exchange (measured: this host pays ~2ms per
+    shuffle file create, i.e. ~130ms per 64-reducer map task, so
+    shuffle-light aggregations on small tables are NOT fanned out).
+
+    Width is derived from the input size (~1 MiB of source bytes per
+    partition, capped at the session's parallelism) rather than a fixed
+    count: fanning a small table all the way to 32 partitions costs
+    more in downstream shuffle-file creates than the extra threads
+    return (width 8-16 measured within 10% of the optimum for every
+    headline query on this host; 64-wide is strictly worse)."""
+    target = spark.sparkContext.defaultParallelism
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    width = max(2, min(target, (size + (1 << 20) - 1) >> 20))
+    if df.rdd.getNumPartitions() < width:
+        df = df.repartition(width, F.col(df.columns[0]))
+    return df
 
 
 def _uris(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "lineitem").selectExpr(f"{URI_EXPR} AS uri")
+    return _t(spark, sf_dir, "lineitem", fanout=True).selectExpr(f"{URI_EXPR} AS uri")
 
 
 def _curies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "lineitem").selectExpr(f"{CURIE_EXPR} AS curie")
+    return _t(spark, sf_dir, "lineitem", fanout=True).selectExpr(
+        f"{CURIE_EXPR} AS curie"
+    )
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -193,7 +228,7 @@ def q_triple_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sconv = _sc(spark)
     # hashing requires fully-expandable triples (reference hash is over
     # strictly expanded URIs, triples/hash_utils.py:86-115)
-    df = _t(spark, sf_dir, "orders").selectExpr(
+    df = _t(spark, sf_dir, "orders", fanout=True).selectExpr(
         f"{demo.HASH_SUBJECT_EXPR} AS subject",
         f"{demo.HASH_PREDICATE_EXPR} AS predicate",
         f"{demo.HASH_OBJECT_EXPR} AS object",
@@ -454,7 +489,7 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from curies_spark.plans.pipeline import extract_mentions, link_mentions
 
     sc = _sc(spark)
-    content = _t(spark, sf_dir, "documents").selectExpr(
+    content = _t(spark, sf_dir, "documents", fanout=True).selectExpr(
         "doc_id", f"{demo.CONTENT_EXPR} AS content"
     )
     linked = link_mentions(extract_mentions(content), sc.broadcast)
@@ -480,7 +515,9 @@ def q_compress_trie_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched pandas UDF (the north star's hot path) with a full
     value oracle."""
     sc = _sc(spark, "large")
-    uris = _t(spark, sf_dir, "lineitem").selectExpr(f"{demo.URI_LARGE_EXPR} AS uri")
+    uris = _t(spark, sf_dir, "lineitem", fanout=True).selectExpr(
+        f"{demo.URI_LARGE_EXPR} AS uri"
+    )
     return uris.select("uri", sc.compress("uri").alias("curie"))
 
 
@@ -489,7 +526,7 @@ def q_preprocess_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse → postprocess), the reference PreprocessingConverter.parse as
     one native column (reference preprocessing.py:199-263)."""
     rules = demo.demo_preprocessing_rules()
-    values = _t(spark, sf_dir, "lineitem").selectExpr(
+    values = _t(spark, sf_dir, "lineitem", fanout=True).selectExpr(
         f"{demo.PREPROC_VALUE_EXPR} AS value"
     )
     parsed = kernels.parse_preprocessed_df(values, "value", _CONVERTER, rules)
@@ -544,7 +581,7 @@ def q_exclude_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_keep_triples_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sconv = _sc(spark)
-    df = _t(spark, sf_dir, "orders").selectExpr(
+    df = _t(spark, sf_dir, "orders", fanout=True).selectExpr(
         f"{demo.HASH_SUBJECT_EXPR} AS subject",
         f"{demo.HASH_PREDICATE_EXPR} AS predicate",
         f"{demo.HASH_OBJECT_EXPR} AS object",

@@ -40,26 +40,31 @@ def _shuffles(plan: str) -> int:
 #: Arrow-kernel stages (rule 2/9: Python only where Spark lacks the
 #: operator, and then only as vectorized Arrow batches).
 EXPECTATIONS = {
-    # conversions never shuffle (rule 1)
-    "compress": (0, False, []),
-    "expand": (0, False, []),
-    "standardize_curie": (0, False, []),
-    "standardize_uri": (0, False, []),
-    "expand_all": (0, False, []),
-    "compress_or_standardize": (0, False, []),
-    "triple_hash": (0, False, []),
-    "preprocess_parse": (0, False, []),
+    # conversions: the only shuffle is the round-6 adaptive scan fan-out
+    # (single-row-group inputs cap scan parallelism at 1 task; see
+    # __spark_entry__._fanout_scan) — the conversion itself never
+    # shuffles (rule 1)
+    "compress": (1, False, []),
+    "expand": (1, False, []),
+    "standardize_curie": (1, False, []),
+    "standardize_uri": (1, False, []),
+    "expand_all": (1, False, []),
+    "compress_or_standardize": (2, False, []),  # two fanned-out scan branches
+    "triple_hash": (1, False, []),
+    "preprocess_parse": (1, False, []),
     # the ONE intentional hot-path Python stage: large-EPM trie probe
-    "compress_trie_udf": (0, True, ["BatchEvalPython"]),
-    # projections / filters: map-only
+    "compress_trie_udf": (1, True, ["BatchEvalPython"]),
+    # projections / filters: map-only (no fan-out: the filter work is
+    # too light to pay an exchange for)
     "keep_prefixes_either": (0, False, []),
     "exclude_object_prefixes": (0, False, []),
-    "filter_by_prefixes": (0, False, []),
-    "w3c_validation": (0, False, []),
-    # aggregations: partial+final, bounded shuffle count
-    "mentions": (2, False, []),
+    "filter_by_prefixes": (1, False, []),
+    "w3c_validation": (1, False, []),
+    # aggregations: partial+final, bounded shuffle count (+1 fan-out
+    # where the pre-aggregation map work is regex/conversion-heavy)
+    "mentions": (3, False, []),
     "dedup_exact": (2, False, []),
-    "unique_prefixes": (2, False, []),
+    "unique_prefixes": (3, False, []),
     # signatures are map-only Arrow kernels (rule 8)
     "minhash_signature": (0, True, ["BatchEvalPython"]),
     "simhash_docs": (0, True, ["BatchEvalPython"]),
