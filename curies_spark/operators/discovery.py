@@ -84,17 +84,30 @@ def discover_records_df(
     # countDistinct(luid) per candidate prefix, which is insensitive to
     # duplicate URIs — dropping the distinct removes a full shuffle of
     # the URI stream.
-    uris = df.select(c.alias("uri")).where(c.isNotNull())
-    # the GitHub-issues special case, reference discovery.py:252-255
-    uris = uris.filter(
-        ~(F.col("uri").startswith("https://github.com") & F.col("uri").contains("issues"))
+    uris = df.select(c.alias("uri"))
+    # Exclusions (NULL uris; the GitHub-issues special case, reference
+    # discovery.py:252-255; already-parsable uris when a converter is
+    # given) are FOLDED INTO the candidate expression rather than
+    # applied as df.filter(...): a Filter above a derived uri column is
+    # pushed to the scan with the derivation re-inlined into the
+    # predicate — on a single-task (unsplittable) scan that re-evaluates
+    # the whole derivation serially (+60% on the 1-row-group bench
+    # layout). Excluded rows instead get a NULL candidate and ride the
+    # (NULL, NULL) group that the final numbering filter already drops —
+    # same result, zero Filter node, derivation evaluated exactly once,
+    # after any fan-out exchange.
+    excluded = F.col("uri").isNull() | (
+        F.col("uri").startswith("https://github.com")
+        & F.col("uri").contains("issues")
     )
     if converter is not None:
         from ..functions.kernels import compress_col
 
-        uris = uris.filter(compress_col("uri", converter).isNull())
+        excluded = excluded | compress_col("uri", converter).isNotNull()
 
-    candidate = uri_prefix_candidate_col("uri", delimiters=delimiters)
+    candidate = F.when(
+        ~excluded, uri_prefix_candidate_col("uri", delimiters=delimiters)
+    )
     luid = F.expr("substring(uri, length(_uri_prefix) + 1)")
     # NO pre-aggregation filter on the computed candidate: Catalyst
     # substitutes the aliased when-chain into any such predicate and
@@ -131,6 +144,18 @@ def discover_records_df(
     # real work). NULLS LAST keeps the numbering of real prefixes
     # identical to the null-free sort (the NULL-candidate group sorts
     # after every real prefix and is dropped below).
+    # Fail loud instead of silently mis-numbering: the two branches
+    # below share one range exchange only because ReuseExchange dedupes
+    # them at runtime; with reuse disabled each branch would re-sample
+    # its own range boundaries and the broadcast offsets could disagree
+    # with the numbering branch's layout.
+    reuse_conf = df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+    if str(reuse_conf).lower() == "false":
+        raise RuntimeError(
+            "discover's two-phase ns-numbering requires "
+            "spark.sql.exchange.reuse (both branches must read one "
+            "materialized range exchange)"
+        )
     order = F.col("_uri_prefix").asc_nulls_last()
     parts = grouped.repartitionByRange(order).withColumn(
         "_pid", F.spark_partition_id()
