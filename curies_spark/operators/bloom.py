@@ -42,6 +42,13 @@ __all__ = [
 ]
 
 
+#: Cap on the bitmap bytes build_bloom_filter will collect() to the
+#: driver in one pass; above it an executor-side OR pass combines
+#: partition bitmaps first (round-robin groups sized to half the
+#: budget). Module constant so tests can force the reduction path.
+BLOOM_COLLECT_BUDGET_BYTES = 1 << 30
+
+
 def _hash_pair(values):
     """(h1, h2) uint64 pairs from sha256 of each distinct string value,
     gathered back to the full array — the ONE hash definition shared by
@@ -129,10 +136,14 @@ def build_bloom_filter(
 
     Distributed build: every partition sets its bits into a local
     bitmap (one Arrow pass, per-distinct hashing), emits the bitmap as
-    ONE row, and the driver ORs the ~``m/8``-byte partition bitmaps —
-    the same shape as any sketch aggregation (at very large ``m``,
-    coalesce the input first so the driver ORs fewer bitmaps). NULLs
-    are skipped: a NULL is never "seen"."""
+    ONE row, and the driver ORs the partition bitmaps — the same shape
+    as any sketch aggregation. When ``partitions × m/8`` exceeds
+    :data:`BLOOM_COLLECT_BUDGET_BYTES`, an intermediate OR pass first
+    combines the bitmaps executor-side (round-robin groups sized so the
+    driver never ingests more than the budget) — the headline sizing
+    the module advertises (10^9 items ≈ 1.2 GB bitmap) over hundreds of
+    partitions would otherwise stream hundreds of GB through collect().
+    NULLs are skipped: a NULL is never "seen"."""
     import numpy as np
 
     m, k = _plan_bits(expected_items, fpp)
@@ -148,11 +159,27 @@ def build_bloom_filter(
             _set_bits(bits, vals, k, m)
         yield pd.DataFrame({"bitmap": [bits.tobytes()], "n": [count]})
 
-    rows = (
-        df.select(F.col(column).cast("string").alias(column))
-        .mapInPandas(per_partition, "bitmap binary, n long")
-        .collect()
+    bitmaps = df.select(F.col(column).cast("string").alias(column)).mapInPandas(
+        per_partition, "bitmap binary, n long"
     )
+    bitmap_bytes = m // 8
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts * bitmap_bytes > BLOOM_COLLECT_BUDGET_BYTES:
+        groups = max(1, BLOOM_COLLECT_BUDGET_BYTES // (2 * bitmap_bytes))
+
+        def or_group(batches):
+            acc = np.zeros(bitmap_bytes, dtype=np.uint8)
+            count = 0
+            for pdf in batches:
+                for buf, n in zip(pdf["bitmap"], pdf["n"]):
+                    acc |= np.frombuffer(buf, dtype=np.uint8)
+                    count += int(n)
+            yield pd.DataFrame({"bitmap": [acc.tobytes()], "n": [count]})
+
+        bitmaps = bitmaps.repartition(int(groups)).mapInPandas(
+            or_group, "bitmap binary, n long"
+        )
+    rows = bitmaps.collect()
     acc = np.zeros(m // 8, dtype=np.uint8)
     total = 0
     for r in rows:

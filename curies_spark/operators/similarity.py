@@ -520,8 +520,21 @@ def write_quantized_partitions(
     codes, so a crash (or concurrent read) between the two writes
     leaves the increment wholly invisible to probes — consistent
     absence — instead of code-ranked but missing from the rerank fetch,
-    which would silently drop the true nearest neighbors."""
+    which would silently drop the true nearest neighbors.
+
+    An in-place ``overwrite`` of an ALREADY-POPULATED index inverts
+    that guarantee (between the new vectors write and the codes
+    overwrite, probes would rank from STALE codes whose ids may be
+    absent from the new vectors side), so the stale codes table is
+    deleted up front — the whole rebuild window is then
+    consistent-absence too."""
     suffix = f"/batch={batch_id}" if batch_id is not None else ""
+    if mode == "overwrite" and batch_id is None:
+        from ..streaming.fsio import fs_delete, fs_exists
+
+        spark = df.sparkSession
+        if fs_exists(spark, f"{root}/codes"):
+            fs_delete(spark, f"{root}/codes")
     staged = (
         df.repartition(partition_col)
         .withColumn("_q", quantize_vector_col(F.col(vec_col)))

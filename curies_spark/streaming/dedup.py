@@ -48,7 +48,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from ..plans.dedup_pipeline import band_keys, estimated_jaccard_col
 from ..plans.dedup_pipeline import stage_documents as _stage
-from .fsio import fs_delete, partition_ids
+from .fsio import fs_delete, fs_exists, fs_read_text, fs_write_text, partition_ids
 
 __all__ = [
     "DOC_SCHEMA",
@@ -69,6 +69,62 @@ DOC_SCHEMA = StructType(
 )
 
 _STORE_COLS = ("doc_id", "mh", "content_hash")
+
+
+def _signature_format(k: int) -> dict:
+    """The exact signature recipe this engine version computes, as a
+    comparable dict: tokenizer whitespace set, shingle k, permutation
+    constants, band geometry. Any change to any of these silently
+    changes MinHash signatures — a resumed stream would then
+    under-pair against its pre-change store."""
+    import hashlib
+
+    from ..operators.dedup import _R, BAND_SIZE, N_PERM
+    from ..operators.text import WS_CHARS
+
+    return {
+        "ws_sha": hashlib.sha256(WS_CHARS.encode("utf-8")).hexdigest()[:16],
+        "k": k,
+        "n_perm": N_PERM,
+        "band_size": BAND_SIZE,
+        "perm_sha": hashlib.sha256(
+            ",".join(map(str, _R)).encode("utf-8")
+        ).hexdigest()[:16],
+    }
+
+
+def _check_signature_format(spark: SparkSession, out_dir: str, *, k: int) -> None:
+    """Fail-loud guard for the store's signature compatibility: a store
+    written under a DIFFERENT tokenizer class / shingle k / permutation
+    set holds signatures this code can never match, so a resumed stream
+    would silently miss near-duplicates across the upgrade boundary
+    (the round-5 ``\\s`` → WS_CHARS change was exactly such a break).
+    Fresh stores get a ``_signature.json`` stamp; resumes compare it."""
+    import json
+
+    marker = f"{out_dir}/_signature.json"
+    fmt = _signature_format(k)
+    existing = fs_read_text(spark, marker)
+    if existing is not None:
+        recorded = json.loads(existing)
+        if recorded != fmt:
+            raise RuntimeError(
+                "streaming dedup store at "
+                f"{out_dir!r} was written with signature format {recorded}, "
+                f"but this engine computes {fmt}; resuming would silently "
+                "miss near-duplicates across the format boundary. Rebuild "
+                "the store (or run with a fresh out_dir)."
+            )
+        return
+    if fs_exists(spark, f"{out_dir}/store"):
+        raise RuntimeError(
+            f"streaming dedup store at {out_dir!r} predates signature-format "
+            "stamping — its tokenizer/permutation recipe is unknown, so a "
+            "resume could silently under-pair. Rebuild the store (or stamp "
+            f"it manually with _signature.json = {json.dumps(fmt, sort_keys=True)} "
+            "after verifying it was written by this engine version)."
+        )
+    fs_write_text(spark, marker, json.dumps(fmt, sort_keys=True))
 
 
 def read_document_stream(
@@ -437,6 +493,7 @@ def start_dedup_stream(
     against the broadcast batch — no store shuffle, no store×store
     pairs).
     """
+    _check_signature_format(spark, out_dir, k=k)
     store_path = f"{out_dir}/store"
     pairs_path = f"{out_dir}/pairs"
     comp_path = f"{out_dir}/components"

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-__all__ = ["fs_delete", "fs_exists", "partition_ids"]
+__all__ = [
+    "fs_delete",
+    "fs_exists",
+    "fs_read_text",
+    "fs_write_text",
+    "partition_ids",
+]
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -56,6 +62,32 @@ def partition_ids(
 def fs_exists(spark: SparkSession, path: str) -> bool:
     fs, jp = _fs_and_path(spark, path)
     return bool(fs.exists(jp))
+
+
+def fs_read_text(spark: SparkSession, path: str) -> "str | None":
+    """UTF-8 contents of a small marker/metadata file, or None when the
+    path does not exist. Driver-side, for KB-scale state stamps only."""
+    fs, jp = _fs_and_path(spark, path)
+    if not fs.exists(jp):
+        return None
+    stream = fs.open(jp)
+    try:
+        jvm = spark._jvm
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 65536, False)
+        return bytes(out.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write (overwrite) a small UTF-8 marker/metadata file."""
+    fs, jp = _fs_and_path(spark, path)
+    stream = fs.create(jp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def fs_delete(spark: SparkSession, path: str) -> None:

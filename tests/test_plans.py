@@ -68,7 +68,7 @@ EXPECTATIONS = {
     # signatures are map-only Arrow kernels (rule 8)
     "minhash_signature": (0, True, ["BatchEvalPython"]),
     "simhash_docs": (0, True, ["BatchEvalPython"]),
-    "fingerprint": (2, False, []),  # one doc-keyed aggregate, no Python
+    "fingerprint": (2, True, ["BatchEvalPython"]),  # Arrow fingerprint kernel
     # metadata scans prune the binary payload (rule 7)
     "media_metadata": (0, False, ["payload"]),
     # text analysis is JVM-native

@@ -906,3 +906,26 @@ def test_stream_dedup_shuffle_fallback_above_broadcast_cap(spark, tmp_path, monk
 
     pairs = spark.read.parquet(*glob.glob(f"{out}/pairs/batch=*"))
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 10)}
+
+
+def test_signature_format_guard(spark, tmp_path):
+    """Round 6 (ADVICE): a resumed stream must fail loud when the store
+    was written under a different tokenizer/shingle/permutation recipe,
+    or under an unknown (pre-stamp) one — never silently under-pair."""
+    import pytest
+
+    from curies_spark.streaming import dedup as SD
+    from curies_spark.streaming.fsio import fs_delete, fs_read_text
+
+    out = str(tmp_path / "out")
+    SD._check_signature_format(spark, out, k=3)  # fresh dir: stamps
+    assert fs_read_text(spark, f"{out}/_signature.json") is not None
+    SD._check_signature_format(spark, out, k=3)  # same recipe: fine
+    with pytest.raises(RuntimeError, match="signature format"):
+        SD._check_signature_format(spark, out, k=4)  # different shingle k
+
+    # a populated store with NO stamp is an unknown recipe: refuse
+    fs_delete(spark, f"{out}/_signature.json")
+    (tmp_path / "out" / "store").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="predates"):
+        SD._check_signature_format(spark, out, k=3)

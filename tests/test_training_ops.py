@@ -43,6 +43,44 @@ def test_shingles(spark):
     assert got[2] == ["a b"]  # shorter than k → whole doc
 
 
+def test_arrow_shingles_and_fingerprint_match_native(spark):
+    """Round-6 Arrow kernels (shingles_arrow_col, the batched
+    doc_fingerprint_col) must be value-identical to their JVM twins on
+    the edge cases that have historically diverged: NULL/empty/blank
+    text, < k tokens, Unicode separators (NBSP, U+2028), casing, and
+    repeated shingles (multiset order in the fingerprint)."""
+    from pyspark.sql import functions as F
+
+    from curies_spark.operators.text import (
+        doc_fingerprint_col,
+        doc_fingerprint_native_col,
+    )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one"),
+        (5, "one two"),
+        (6, "one two three four"),
+        (7, "A B a b A B a b"),  # repeated shingles → multiset matters
+        (8, "nb sp and line sep tokens here"),
+        (9, "x " * 50),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    native = df.select("doc_id", F.explode(D.shingles_col("text", k=3)).alias("s"))
+    arrow = df.select(
+        "doc_id", F.explode(D.shingles_arrow_col("text", k=3)).alias("s")
+    )
+    assert native.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(native).count() == 0
+    fps = df.select(
+        doc_fingerprint_col("text").alias("a"),
+        doc_fingerprint_native_col("text").alias("b"),
+    ).collect()
+    assert all(r["a"] == r["b"] for r in fps)
+
+
 def test_minhash_lsh(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"])
@@ -1231,6 +1269,24 @@ def test_exclude_seen_history_column_rename(spark):
         ).collect()
     }
     assert got == {2}
+
+
+def test_bloom_build_tree_reduction_matches_flat_collect(spark, monkeypatch):
+    """Round 6: when partitions × bitmap bytes exceed the collect
+    budget, build_bloom_filter ORs bitmaps executor-side first. Forcing
+    a tiny budget must yield the exact same filter (bitmap AND count)
+    as the flat-collect path — the reduction is pure plumbing."""
+    from curies_spark.operators import bloom as B
+
+    hist = spark.createDataFrame(
+        [(f"doc number {i}",) for i in range(500)], ["text"]
+    ).repartition(8)
+    flat = B.build_bloom_filter(hist, "text", expected_items=500, fpp=0.01)
+    monkeypatch.setattr(B, "BLOOM_COLLECT_BUDGET_BYTES", 1)
+    reduced = B.build_bloom_filter(hist, "text", expected_items=500, fpp=0.01)
+    assert reduced.bitmap == flat.bitmap
+    assert reduced.n_items == flat.n_items == 500
+    assert (reduced.m_bits, reduced.k) == (flat.m_bits, flat.k)
 
 
 def test_bloom_probe_plan_is_shuffle_free(spark):
