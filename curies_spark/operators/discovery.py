@@ -212,7 +212,11 @@ def uris_from_triples(
     uniformly at any corpus size.
     """
     part = F.explode(F.array(*[F.col(c) for c in columns])).alias("uri")
-    return df.select(part).where(F.col("uri").rlike(_URI_SHAPED)).distinct()
+    # contains("://") is a necessary condition for the anchored regex —
+    # the cheap codegen'd scan short-circuits the regex for the literal
+    # majority of triple parts (predicate semantics unchanged)
+    uri_shaped = F.col("uri").contains("://") & F.col("uri").rlike(_URI_SHAPED)
+    return df.select(part).where(uri_shaped).distinct()
 
 
 def discover_from_triples(
